@@ -1,0 +1,220 @@
+"""Raster pixel operators — Arrow-batched pandas UDF stages over the
+``bytes`` column (SURVEY.md §2.8 F1–F10, §3.3 per-task data path).
+
+Each public function is a DataFrame→DataFrame stage; pixels only exist inside
+the UDF (decoded per Arrow batch, bounded by ``maxRecordsPerBatch``). The
+chain mirrors the reference's fetch→impute/scale→infer path
+(``terrakit_data_fetch.py:84-172`` → ``run-inference.py``), with the model
+replaced by a deterministic pseudo-inference so outputs are checkable
+(SURVEY.md §7.2 step 7).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..codecs.image import decode_image, encode_image
+
+NODATA = -9999.0  # raster_data_operations.py:30
+
+
+def _map_images(
+    df: DataFrame,
+    fn,
+    in_col: str,
+    out_col: str,
+    extra_out: str = "",
+    carry: tuple[str, ...] | None = None,
+):
+    """Run ``fn(ndarray HxWxC, row) -> ndarray`` over each image, re-encoding
+    as raw float32/uint8. Keeps all input columns, adds ``out_col``."""
+    cols = list(df.columns) if carry is None else list(carry)
+    schema = ", ".join(f"{c} {t}" for c, t in df.dtypes if c in cols)
+    schema += f", {out_col} binary" + (f", {extra_out}" if extra_out else "")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            outs = []
+            for _, row in pdf.iterrows():
+                arr = decode_image(bytes(row[in_col]))
+                outs.append(fn(arr, row))
+            out = pdf[cols].copy()
+            out[out_col] = [encode_image(a, "raw") for a in outs]
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+# --------------------------------------------------------- F1: to_decibels
+
+
+def to_decibels(df: DataFrame, in_col: str = "bytes", out_col: str = "db_bytes", bands=(0, 1)) -> DataFrame:
+    """10·log10(x) applied to the given band planes (S1GRD bands 0–1 only,
+    terrakit_data_fetch.py:41-49); zeros map to NODATA instead of -inf."""
+
+    def fn(arr, _row):
+        out = arr.astype(np.float32)
+        for b in bands:
+            if b < out.shape[2]:
+                plane = out[:, :, b]
+                with np.errstate(divide="ignore"):
+                    out[:, :, b] = np.where(plane > 0, 10.0 * np.log10(plane), NODATA)
+        return out
+
+    return _map_images(df, fn, in_col, out_col)
+
+
+# -------------------------------------------------------- F2: band scaling
+
+
+def scale_bands(df: DataFrame, factors: list[float], in_col: str = "bytes", out_col: str = "scaled_bytes") -> DataFrame:
+    """Per-band multiply by scaling_factor (terrakit_data_fetch.py:149-152);
+    missing factors default to 1.0 like the reference's spec lookup."""
+    fac = np.asarray(factors, dtype=np.float32)
+
+    def fn(arr, _row):
+        out = arr.astype(np.float32)
+        n = min(out.shape[2], len(fac))
+        out[:, :, :n] *= fac[:n]
+        return out
+
+    return _map_images(df, fn, in_col, out_col)
+
+
+# ------------------------------------------------------- F3: impute nans
+
+
+def impute_nans_array(arr: np.ndarray, max_fill_dist: int = 16) -> np.ndarray:
+    """NODATA/float32-max → NaN → iterative nearest-neighbor fill (the
+    gdal_fillnodata analog: each pass fills a NaN pixel with the mean of its
+    valid 4-neighbors, expanding one pixel per pass) → remaining NaN to the
+    per-band median; errors if a band has no valid pixel at all
+    (raster_data_operations.py:521-569 incl. the :545-548 guard)."""
+    out = arr.astype(np.float32).copy()
+    out[out <= NODATA] = np.nan
+    out[out >= np.finfo(np.float32).max] = np.nan
+    for b in range(out.shape[2]):
+        plane = out[:, :, b]
+        if np.isnan(plane).all():
+            raise ValueError(f"band {b} has no valid pixels (impute would be undefined)")
+        for _ in range(max_fill_dist):
+            nanmask = np.isnan(plane)
+            if not nanmask.any():
+                break
+            padded = np.pad(plane, 1, constant_values=np.nan)
+            with np.errstate(invalid="ignore"):
+                neigh = np.nanmean(
+                    np.stack(
+                        [padded[:-2, 1:-1], padded[2:, 1:-1], padded[1:-1, :-2], padded[1:-1, 2:]]
+                    ),
+                    axis=0,
+                )
+            plane = np.where(nanmask & ~np.isnan(neigh), neigh, plane)
+        med = np.nanmedian(plane)
+        plane = np.where(np.isnan(plane), med, plane)
+        out[:, :, b] = plane
+    return out
+
+
+def impute_nans(df: DataFrame, in_col: str = "bytes", out_col: str = "imputed_bytes") -> DataFrame:
+    return _map_images(df, lambda a, _r: impute_nans_array(a), in_col, out_col)
+
+
+# --------------------------------------- F7/F8: resize / crop to window
+
+
+def resize_array(arr: np.ndarray, out_h: int, out_w: int, method: str = "nearest") -> np.ndarray:
+    """Affine grid resample (the gdalwarp/gdal_translate analog for the
+    same-CRS case, raster_data_operations.py:363-431, :572-598)."""
+    h, w, c = arr.shape
+    if method == "nearest":
+        yi = np.clip(((np.arange(out_h) + 0.5) * h / out_h - 0.5 + 0.5).astype(np.int64), 0, h - 1)
+        xi = np.clip(((np.arange(out_w) + 0.5) * w / out_w - 0.5 + 0.5).astype(np.int64), 0, w - 1)
+        return arr[yi[:, None], xi[None, :], :]
+    if method == "bilinear":
+        yf = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+        xf = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+        y0 = np.clip(np.floor(yf).astype(np.int64), 0, h - 1)
+        x0 = np.clip(np.floor(xf).astype(np.int64), 0, w - 1)
+        y1 = np.clip(y0 + 1, 0, h - 1)
+        x1 = np.clip(x0 + 1, 0, w - 1)
+        wy = np.clip(yf - y0, 0, 1)[:, None, None]
+        wx = np.clip(xf - x0, 0, 1)[None, :, None]
+        a = arr.astype(np.float64)
+        top = a[y0][:, x0, :] * (1 - wx) + a[y0][:, x1, :] * wx
+        bot = a[y1][:, x0, :] * (1 - wx) + a[y1][:, x1, :] * wx
+        return (top * (1 - wy) + bot * wy).astype(np.float32)
+    raise ValueError(method)
+
+
+def crop_window(arr: np.ndarray, col_off: int, row_off: int, w: int, h: int) -> np.ndarray:
+    """Window slice with edge clamp (rasterio.windows.from_bounds analog)."""
+    H, W, _ = arr.shape
+    r0, c0 = max(0, row_off), max(0, col_off)
+    return arr[r0 : min(H, row_off + h), c0 : min(W, col_off + w), :]
+
+
+def match_to_target(df: DataFrame, in_col: str, target_w: str = "w", target_h: str = "h", method: str = "nearest") -> DataFrame:
+    """J5 grid-alignment: resample each raster to the row's (w, h) grid
+    (match_raster_to_target, raster_data_operations.py:434-462)."""
+
+    def fn(arr, row):
+        return resize_array(arr, int(row[target_h]), int(row[target_w]), method)
+
+    return _map_images(df, fn, in_col, in_col.replace("bytes", "") + "aligned_bytes")
+
+
+# ------------------------------------------------ deterministic inference
+
+
+def pseudo_inference(df: DataFrame, in_col: str = "bytes", out_col: str = "pred_bytes") -> DataFrame:
+    """Deterministic stand-in for the model server (run-inference.py:211):
+    per-pixel score = mean over channels / 255, thresholded at 0.5 into a
+    float32 {0, 1} mask. Checkable single-node; same tiling semantics apply
+    (windows × overlap-average reproduce the full-image result exactly
+    because the 'model' is pointwise)."""
+
+    def fn(arr, _row):
+        score = arr.astype(np.float32).mean(axis=2, keepdims=True) / 255.0
+        return (score > 0.5).astype(np.float32)
+
+    return _map_images(df, fn, in_col, out_col)
+
+
+def decode_stats(df: DataFrame, in_col: str = "bytes") -> DataFrame:
+    """Per-image per-band sum / sumsq / count / min / max — the *partial*
+    half of A5's streaming mean/std (claimed_curated_upload_v2.py:533-566);
+    groupBy(band).sum() downstream gives the dataset stats with Spark's own
+    partial+final aggregation doing the tree-reduce."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                arr = decode_image(bytes(row[in_col])).astype(np.float64)
+                for b in range(arr.shape[2]):
+                    plane = arr[:, :, b]
+                    valid = plane[plane > NODATA]
+                    rows.append(
+                        {
+                            "image_id": row["image_id"],
+                            "band": b,
+                            "psum": float(valid.sum()),
+                            "psumsq": float((valid**2).sum()),
+                            "pcount": int(valid.size),
+                            "pmin": float(valid.min()) if valid.size else None,
+                            "pmax": float(valid.max()) if valid.size else None,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run,
+        "image_id string, band int, psum double, psumsq double, pcount long, pmin double, pmax double",
+    )

@@ -1,0 +1,190 @@
+"""Raster↔vector conversion (SURVEY.md §2.8 F15/F16) — pure numpy, no GDAL.
+
+* ``raster_to_polygons`` reproduces ``rasterio.features.shapes`` semantics
+  (used by ``raster_to_vector``, postprocess_regularization.py:42-167):
+  4-connected components of the mask, each traced into an **exact pixel-edge
+  polygon** (exterior ring CCW, holes CW), optional min-area filter,
+  Douglas–Peucker simplification, class filtering.
+* ``rasterize_polygons`` reproduces ``rasterio.features.rasterize``
+  (geojson_to_tiff, postprocess_generic_helper_functions.py:485-527):
+  burn values onto a grid; ``all_touched=False`` = pixel-center-in-polygon
+  (exact); ``all_touched=True`` approximated by center + 4 corner samples
+  (exact for the rectilinear polygons this engine's vectorizer emits).
+
+Coordinates: pixel space (x=col, y=row), y increasing downward; an affine
+transform (a,b,c,d,e,f) maps to world space like rasterio's Affine.
+
+Spark wrapper: ``vectorize(df)`` is a ``mapInPandas`` stage emitting one row
+per polygon (image_id, class value, WKB, area) — a raster-in/vector-out
+flatMap, the engine's F15.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..codecs.image import decode_image
+from ..geo import geometry as G
+from ..geo import wkb
+
+
+def connected_components(mask: np.ndarray) -> np.ndarray:
+    """4-connected labeling via min-label propagation (int64 labels, 0 = bg)."""
+    h, w = mask.shape
+    labels = np.where(mask, np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w), 0)
+    while True:
+        nxt = labels.copy()
+        up = np.vstack([np.zeros((1, w), np.int64), labels[:-1]])
+        dn = np.vstack([labels[1:], np.zeros((1, w), np.int64)])
+        lf = np.hstack([np.zeros((h, 1), np.int64), labels[:, :-1]])
+        rt = np.hstack([labels[:, 1:], np.zeros((h, 1), np.int64)])
+        for nb in (up, dn, lf, rt):
+            take = mask & (nb > 0) & ((nxt == 0) | (nb < nxt))
+            nxt = np.where(take, nb, nxt)
+        if np.array_equal(nxt, labels):
+            break
+        labels = nxt
+    return labels
+
+
+def trace_component(comp_mask: np.ndarray) -> list[np.ndarray]:
+    """Exact pixel-edge rings of a single component: collects boundary edges
+    oriented with the interior on the left, then chains them into closed
+    loops. Returns [exterior (CCW in y-down = CW visually), holes...].
+    Collinear runs are merged so rectangles come back as 5-point rings."""
+    h, w = comp_mask.shape
+    pad = np.pad(comp_mask, 1)
+    edges: dict[tuple[int, int], tuple[int, int]] = {}
+    ys, xs = np.nonzero(comp_mask)
+    for y, x in zip(ys.tolist(), xs.tolist()):
+        if not pad[y, x + 1]:  # open above → edge runs +x along top
+            edges[(x, y)] = (x + 1, y)
+        if not pad[y + 2, x + 1]:  # open below → edge runs -x along bottom
+            edges[(x + 1, y + 1)] = (x, y + 1)
+        if not pad[y + 1, x]:  # open left → edge runs -y... (y-down: downward)
+            edges[(x, y + 1)] = (x, y)
+        if not pad[y + 1, x + 2]:  # open right
+            edges[(x + 1, y)] = (x + 1, y + 1)
+    rings = []
+    while edges:
+        start = next(iter(edges))
+        loop = [start]
+        cur = edges.pop(start)
+        while cur != start:
+            loop.append(cur)
+            cur = edges.pop(cur)
+        loop.append(start)
+        ring = np.asarray(loop, dtype=np.float64)
+        # merge collinear runs
+        keep = [0]
+        for i in range(1, len(ring) - 1):
+            d0 = ring[i] - ring[keep[-1]]
+            d1 = ring[i + 1] - ring[i]
+            if d0[0] * d1[1] - d0[1] * d1[0] != 0:
+                keep.append(i)
+        keep.append(len(ring) - 1)
+        rings.append(ring[keep])
+    # exterior = ring with max |area|
+    rings.sort(key=lambda r: -abs(G.ring_area(r)))
+    return rings
+
+
+def raster_to_polygons(
+    data: np.ndarray,
+    threshold: float = 0.0,
+    min_area: float = 10.0,
+    simplify_tolerance: float | None = None,
+    class_values: list[int] | None = None,
+) -> list[dict]:
+    """raster_to_vector twin (postprocess_regularization.py:42-167): masks by
+    class value (or > threshold), labels components, traces polygons, drops
+    area < min_area, optionally simplifies. Returns
+    [{class, rings, area}, ...] in pixel coordinates."""
+    plane = data[:, :, 0] if data.ndim == 3 else data
+    if class_values is not None:
+        masks = {int(v): plane == v for v in class_values}
+    else:
+        masks = {1: plane > threshold}
+    out = []
+    for cls, mask in masks.items():
+        labels = connected_components(mask)
+        for lab in np.unique(labels):
+            if lab == 0:
+                continue
+            rings = trace_component(labels == lab)
+            area = abs(G.ring_area(rings[0])) - sum(abs(G.ring_area(r)) for r in rings[1:])
+            if area < min_area:
+                continue
+            if simplify_tolerance is not None:
+                rings = [G.simplify_ring(r, simplify_tolerance) for r in rings]
+            out.append({"class": cls, "rings": rings, "area": float(area)})
+    return out
+
+
+def rasterize_polygons(
+    shapes: list[tuple[list[np.ndarray], float]],
+    out_shape: tuple[int, int],
+    fill: float = 0.0,
+    all_touched: bool = True,
+) -> np.ndarray:
+    """rasterize twin (geojson_to_tiff :485-527): burn (rings, value) pairs
+    onto an (h, w) grid, later shapes overwrite earlier (rasterio default)."""
+    h, w = out_shape
+    out = np.full((h, w), fill, dtype=np.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    cx = (xx + 0.5).ravel().astype(np.float64)
+    cy = (yy + 0.5).ravel().astype(np.float64)
+    for rings, value in shapes:
+        minx, miny = rings[0][:, 0].min(), rings[0][:, 1].min()
+        maxx, maxy = rings[0][:, 0].max(), rings[0][:, 1].max()
+        sel = (cx >= minx - 1) & (cx <= maxx + 1) & (cy >= miny - 1) & (cy <= maxy + 1)
+        if not sel.any():
+            continue
+        hit = G.points_in_polygon(cx[sel], cy[sel], rings)
+        if all_touched:
+            for dx, dy in ((-0.5, -0.5), (0.5, -0.5), (-0.5, 0.5), (0.5, 0.5)):
+                hit |= G.points_in_polygon(cx[sel] + dx, cy[sel] + dy, rings)
+        m = np.zeros(h * w, dtype=bool)
+        m[np.nonzero(sel)[0][hit]] = True
+        out[m.reshape(h, w)] = value
+    return out
+
+
+def vectorize(
+    df: DataFrame,
+    in_col: str = "masked_bytes",
+    threshold: float = 0.0,
+    min_area: float = 10.0,
+    simplify_tolerance: float | None = None,
+    class_values: list[int] | None = None,
+) -> DataFrame:
+    """F15 as a Spark stage: one output row per extracted polygon."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                arr = decode_image(bytes(row[in_col]))
+                for k, feat in enumerate(
+                    raster_to_polygons(arr, threshold, min_area, simplify_tolerance, class_values)
+                ):
+                    rows.append(
+                        {
+                            "image_id": row["image_id"],
+                            "shape_idx": k,
+                            "class": feat["class"],
+                            "geom_wkb": wkb.dumps_polygon(feat["rings"]),
+                            "area_px": feat["area"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "shape_idx", "class", "geom_wkb", "area_px"]
+            )
+
+    return df.mapInPandas(
+        run, "image_id string, shape_idx int, class int, geom_wkb binary, area_px double"
+    )

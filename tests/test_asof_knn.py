@@ -1,0 +1,82 @@
+"""As-of nearest-date join and kNN vs single-node oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geospatial_studio_pipelines_spark import datagen
+from geospatial_studio_pipelines_spark.operators import asof, footprints, knn
+
+
+@pytest.fixture(scope="module")
+def images_fp(spark):
+    return footprints.with_footprint(datagen.images_df(spark, 200)).cache()
+
+
+def test_asof_matches_reference_loop(spark, images_fp):
+    # primary = S2L2A, secondary = S1GRD; match within the same coarse cell
+    from geospatial_studio_pipelines_spark.operators import tiling
+
+    df = tiling.with_cell(images_fp, res=0).select("image_id", "modality", "date", "cell_id")
+    prim = df.filter(F.col("modality") == "S2L2A").drop("modality")
+    sec = df.filter(F.col("modality") == "S1GRD").drop("modality")
+    got = asof.asof_nearest_date_join(
+        prim, sec, on=["cell_id"], pre_days=30, post_days=30, suffix="_sec"
+    ).select("image_id", "image_id_sec").collect()
+    got_pairs = {(r.image_id, r.image_id_sec) for r in got}
+
+    ppdf = prim.toPandas()
+    spdf = sec.toPandas()
+    pairs = asof.asof_oracle_pandas(ppdf, spdf, on=["cell_id"], pre_days=30, post_days=30)
+    exp_pairs = {(ppdf.iloc[pi]["image_id"], spdf.iloc[si]["image_id"]) for pi, si in pairs}
+    assert got_pairs == exp_pairs
+    assert len(got_pairs) > 0  # non-degenerate
+
+
+def test_asof_tie_prefers_earlier(spark):
+    prim = spark.createDataFrame(
+        [("p1", "2024-06-10")], "id string, date string"
+    ).withColumn("date", F.to_date("date"))
+    sec = spark.createDataFrame(
+        [("s-before", "2024-06-09"), ("s-after", "2024-06-11"), ("s-far", "2024-06-20")],
+        "id string, date string",
+    ).withColumn("date", F.to_date("date"))
+    got = asof.asof_nearest_date_join(prim, sec, on=[], suffix="_s").collect()
+    assert len(got) == 1 and got[0]["id_s"] == "s-before"
+
+
+def test_asof_drops_out_of_window(spark):
+    prim = spark.createDataFrame([("p1", "2024-06-10")], "id string, date string").withColumn(
+        "date", F.to_date("date")
+    )
+    sec = spark.createDataFrame([("s1", "2024-06-15")], "id string, date string").withColumn(
+        "date", F.to_date("date")
+    )
+    assert asof.asof_nearest_date_join(prim, sec, on=[]).count() == 0
+
+
+@pytest.mark.parametrize("k", [4, 8])
+def test_knn_matches_bruteforce(spark, images_fp, k):
+    pts = images_fp.select("image_id", "lat", "lon")
+    got = knn.knn_join(pts, k=k).toPandas()
+    exp = knn.knn_oracle(pts.toPandas(), k=k)
+    g = set(map(tuple, got[["image_id", "nid", "rank"]].itertuples(index=False)))
+    e = set(map(tuple, exp[["image_id", "nid", "rank"]].itertuples(index=False)))
+    assert g == e
+    assert len(got) == 200 * k
+
+
+def test_knn_escalation_path(spark):
+    # 20 points spread worldwide at a fine res → first ring is empty, forces
+    # the radius escalation + brute-force fallback to do the work
+    pdf = datagen.images_pdf(20)
+    phash = pdf["phash"].to_numpy()
+    pdf["lon"] = -180.0 + (phash % 360_000) / 1000.0
+    pdf["lat"] = -60.0 + ((phash // 360_000) % 120_000) / 1000.0
+    pts = spark.createDataFrame(pdf[["image_id", "lat", "lon"]])
+    got = knn.knn_join(pts, k=3, res=12).toPandas()
+    exp = knn.knn_oracle(pdf, k=3)
+    g = set(map(tuple, got[["image_id", "nid", "rank"]].itertuples(index=False)))
+    e = set(map(tuple, exp[["image_id", "nid", "rank"]].itertuples(index=False)))
+    assert g == e

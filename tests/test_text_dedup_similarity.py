@@ -1,0 +1,155 @@
+"""Text functions, dedup, ANN — including Spark↔DuckDB oracle portability."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geospatial_studio_pipelines_spark.functions import text as T
+from geospatial_studio_pipelines_spark.operators import dedup, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF_DIR}/embeddings.parquet')")
+    return con
+
+
+def _compare(spark_rows, duck_rows):
+    assert sorted(map(tuple, spark_rows)) == sorted(map(tuple, duck_rows))
+
+
+@pytest.mark.parametrize(
+    "expr_fn,sql_fn",
+    [
+        (T.token_count, T.token_count_sql),
+        (T.word_count, T.word_count_sql),
+        (T.lang_id, T.lang_id_sql),
+        (T.punct_ratio, T.punct_ratio_sql),
+        (T.quality_score, T.quality_score_sql),
+        (T.fingerprint, T.fingerprint_sql),
+    ],
+)
+def test_text_fn_matches_duckdb(docs, duck, expr_fn, sql_fn):
+    got = docs.select("doc_id", expr_fn(F.col("text")).alias("v")).collect()
+    exp = duck.execute(f"SELECT doc_id, {sql_fn('text')} AS v FROM documents").fetchall()
+    _compare([(r.doc_id, r.v) for r in got], exp)
+
+
+def test_shingle_hashes_match_duckdb(docs, duck):
+    got = docs.select("doc_id", T.shingle_hashes(F.col("text")).alias("sh")).collect()
+    exp = duck.execute(
+        f"SELECT doc_id, {T.shingle_hashes_sql('text')} AS sh FROM documents"
+    ).fetchall()
+    g = {r.doc_id: r.sh for r in got}
+    e = {r[0]: r[1] for r in exp}
+    assert g == e
+
+
+def test_simhash_matches_duckdb(docs, duck):
+    sub = docs.limit(30)
+    got = sub.select("doc_id", dedup.simhash(F.col("text")).alias("sh")).collect()
+    ids = tuple(r.doc_id for r in got)
+    exp = duck.execute(
+        f"SELECT doc_id, {dedup.simhash_sql('text')} AS sh FROM documents WHERE doc_id IN {ids}"
+    ).fetchall()
+    _compare([(r.doc_id, r.sh) for r in got], exp)
+
+
+def test_exact_duplicates(spark):
+    rows = [(1, "hello world"), (2, "hello world"), (3, "unique text here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.exact_duplicates(df).collect()
+    assert len(got) == 1 and got[0]["n_dups"] == 2 and got[0]["keeper_doc_id"] == 1
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the forest"
+    rows = [
+        (1, base),
+        (2, base.replace("runs", "walks")),  # near-dup
+        (3, "completely different content about spark dataframes and shuffles"),
+        (4, base),  # exact dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash_candidate_pairs(df).collect()}
+    assert (1, 4) in pairs and (1, 2) in pairs
+    sims = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    simmap = {(r.id_a, r.id_b): r.jaccard for r in sims}
+    assert simmap[(1, 4)] == 1.0
+    assert 0.5 <= simmap[(1, 2)] < 1.0
+    assert (1, 3) not in simmap
+
+
+def test_jaccard_matches_duckdb_set_semantics(docs, duck):
+    # exact jaccard on an arbitrary doc pair computed relationally in duckdb
+    got = (
+        dedup.ngram_jaccard_pairs(
+            docs.filter(F.col("doc_id") < 20), pairs=None, threshold=0.0
+        )
+        .collect()
+    )
+    for r in got[:10]:
+        q = f"""
+        WITH s AS (SELECT doc_id, list_distinct({T.shingle_hashes_sql('text')}) sh FROM documents)
+        SELECT CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               CAST(length(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+        FROM s a, s b WHERE a.doc_id = {r.id_a} AND b.doc_id = {r.id_b}
+        """
+        exp = duck.execute(q).fetchone()[0]
+        assert abs(r.jaccard - exp) < 1e-12
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    k = 5
+    got = similarity.brute_force_topk(emb, k=k).toPandas()
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    ids = pdf["vec_id"].to_numpy()
+    for qi in range(min(40, len(ids))):
+        order = sorted(
+            ((round(-sims[qi, j], 6), ids[j]) for j in range(len(ids)) if j != qi)
+        )[:k]
+        exp = [nid for _, nid in order]
+        sub = got[got["id_a"] == ids[qi]].sort_values("rank")
+        assert sub["id_b"].tolist() == exp
+
+
+def test_lsh_topk_recall(emb):
+    k = 5
+    exact = similarity.brute_force_topk(emb, k=k)
+    # these embeddings are near-random (weak angular structure) — the worst
+    # case for hyperplane LSH; shallow planes + more tables still must beat
+    # random-candidate recall by a wide margin
+    approx = similarity.lsh_topk(emb, k=k, dim=64, n_planes=3, n_tables=8)
+    counts = approx.groupBy("id_a").count().toPandas()
+    assert (counts["count"] == k).all()  # exactly-k contract via fallback
+    rec = similarity.recall_vs_exact(approx, exact, k)
+    assert rec >= 0.6, rec
+
+
+def test_embedding_near_dups_threshold(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = dedup.embedding_near_dups(df, threshold=0.95).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}

@@ -142,6 +142,77 @@ def polygon_intersects_bbox(rings: list[np.ndarray], minx, miny, maxx, maxy) -> 
     return True
 
 
+def segments_hit_boxes(ring: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """(N,) bool: does any edge of ``ring`` intersect each axis-aligned box?
+
+    Liang–Barsky slab clip, broadcast (N boxes × M edges) — touching counts
+    (boundary-inclusive, matching ``segments_cross``). Replaces the per-pair
+    Python loop in the spatial join's exact phase with one numpy pass per
+    polygon per Arrow batch."""
+    boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+    x0, y0 = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+    dx = (ring[1:, 0] - ring[:-1, 0])[None, :]
+    dy = (ring[1:, 1] - ring[:-1, 1])[None, :]
+    minx, miny = boxes[:, 0][:, None], boxes[:, 1][:, None]
+    maxx, maxy = boxes[:, 2][:, None], boxes[:, 3][:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tx1 = (minx - x0) / dx
+        tx2 = (maxx - x0) / dx
+        ty1 = (miny - y0) / dy
+        ty2 = (maxy - y0) / dy
+    # dx == 0: edge is vertical — inside the x-slab iff minx <= x0 <= maxx
+    zx = dx == 0
+    in_x = (x0 >= minx) & (x0 <= maxx)
+    tlo_x = np.where(zx, np.where(in_x, -np.inf, np.inf), np.minimum(tx1, tx2))
+    thi_x = np.where(zx, np.where(in_x, np.inf, -np.inf), np.maximum(tx1, tx2))
+    zy = dy == 0
+    in_y = (y0 >= miny) & (y0 <= maxy)
+    tlo_y = np.where(zy, np.where(in_y, -np.inf, np.inf), np.minimum(ty1, ty2))
+    thi_y = np.where(zy, np.where(in_y, np.inf, -np.inf), np.maximum(ty1, ty2))
+    tmin = np.maximum(np.maximum(tlo_x, tlo_y), 0.0)
+    tmax = np.minimum(np.minimum(thi_x, thi_y), 1.0)
+    return np.any(tmin <= tmax, axis=1)
+
+
+def _corners_in_ring(ring: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """(N, 4) bool: each box corner inside-or-on ``ring``."""
+    boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+    cx = boxes[:, [0, 2, 2, 0]].ravel()
+    cy = boxes[:, [1, 1, 3, 3]].ravel()
+    return points_in_ring(cx, cy, ring).reshape(-1, 4)
+
+
+def polygon_intersects_boxes(rings: list[np.ndarray], boxes: np.ndarray) -> np.ndarray:
+    """Vectorized ``polygon_intersects_bbox`` over (N, 4) boxes → (N,) bool.
+
+    Same boundary-inclusive semantics: a box intersects the polygon iff a
+    corner lies in the exterior ring or an exterior edge meets the box region,
+    minus boxes strictly inside a hole (not touching its boundary)."""
+    boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+    if len(boxes) == 0:
+        return np.zeros(0, dtype=bool)
+    ext = rings[0]
+    env = (
+        (ext[:, 0].max() >= boxes[:, 0])
+        & (ext[:, 0].min() <= boxes[:, 2])
+        & (ext[:, 1].max() >= boxes[:, 1])
+        & (ext[:, 1].min() <= boxes[:, 3])
+    )
+    out = np.zeros(len(boxes), dtype=bool)
+    if env.any():
+        cand = boxes[env]
+        hit = _corners_in_ring(ext, cand).any(axis=1) | segments_hit_boxes(ext, cand)
+        for hole in rings[1:]:
+            if not hit.any():
+                break
+            strictly_in_hole = _corners_in_ring(hole, cand).all(axis=1) & ~segments_hit_boxes(
+                hole, cand
+            )
+            hit &= ~strictly_in_hole
+        out[env] = hit
+    return out
+
+
 def bbox_overlap(aminx, aminy, amaxx, amaxy, bminx, bminy, bmaxx, bmaxy):
     """Vectorized boundary-inclusive bbox intersects — the 4-comparison prune
     (mirrors the reference's ``gdf.clip(box(*bbox))`` pre-filter,

@@ -90,10 +90,12 @@ def broadcast_spatial_join(
                 continue
             qboxes = pdf[["minx", "miny", "maxx", "maxy"]].to_numpy(dtype=np.float64)
             qi, ti = tree.query_many(qboxes)
+            # exact test vectorized per AOI: one numpy pass over all candidate
+            # boxes of each polygon instead of a Python call per pair
             keep = np.zeros(len(qi), dtype=bool)
-            for n in range(len(qi)):
-                b = qboxes[qi[n]]
-                keep[n] = G.polygon_intersects_bbox(rings[ti[n]], b[0], b[1], b[2], b[3])
+            for t in np.unique(ti):
+                sel = ti == t
+                keep[sel] = G.polygon_intersects_boxes(rings[t], qboxes[qi[sel]])
             qi, ti = qi[keep], ti[keep]
             out = pd.DataFrame(
                 {
@@ -141,13 +143,20 @@ def partitioned_spatial_join(
                 continue
             keep = np.zeros(len(pdf), dtype=bool)
             bb = pdf[["minx", "miny", "maxx", "maxy"]].to_numpy(dtype=np.float64)
-            for n, blob in enumerate(pdf["geom_wkb"]):
-                key = bytes(blob)
+            # vectorize per distinct AOI within the batch (grouped by geom blob)
+            aoi_ids = pdf["aoi_id"].to_numpy()
+            order = np.argsort(aoi_ids, kind="stable")
+            bounds = np.flatnonzero(
+                np.r_[True, aoi_ids[order][1:] != aoi_ids[order][:-1], True]
+            )
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                idx = order[s:e]
+                key = bytes(pdf["geom_wkb"].iloc[idx[0]])
                 rings = ring_cache.get(key)
                 if rings is None:
                     rings = wkb.polygon_rings(key)
                     ring_cache[key] = rings
-                keep[n] = G.polygon_intersects_bbox(rings, *bb[n])
+                keep[idx] = G.polygon_intersects_boxes(rings, bb[idx])
             yield pdf.loc[keep, ["image_id", "aoi_id"]]
 
     pairs = cand.mapInPandas(exact, "image_id string, aoi_id string")

@@ -117,3 +117,45 @@ def test_buffer_ring_grows_convex():
     out = G.buffer_ring(SQUARE, 1.0)
     assert abs(G.ring_area(out)) > 16.0
     assert G.points_in_ring(SQUARE[:-1, 0], SQUARE[:-1, 1], out).all()
+
+
+def test_polygon_intersects_boxes_matches_scalar():
+    """Vectorized slab-test predicate must agree with the per-pair scalar
+    predicate on random polygons × random boxes (the join's exact phase)."""
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        k = 3 + trial % 6
+        ang = 2 * np.pi * np.arange(k) / k + trial * 0.3
+        r = 1.0 + rng.uniform(0, 3)
+        cx, cy = rng.uniform(-10, 10, size=2)
+        ring = np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+        ring = np.vstack([ring, ring[:1]])
+        rings = [ring]
+        if trial % 3 == 0:
+            hole = np.column_stack(
+                [cx + 0.3 * r * np.cos(ang), cy + 0.3 * r * np.sin(ang)]
+            )
+            rings.append(np.vstack([hole, hole[:1]]))
+        lo = rng.uniform(-14, 14, size=(200, 2))
+        sz = rng.uniform(0.05, 6, size=(200, 2))
+        boxes = np.hstack([lo, lo + sz])
+        got = G.polygon_intersects_boxes(rings, boxes)
+        want = np.array([G.polygon_intersects_bbox(rings, *b) for b in boxes])
+        assert (got == want).all(), f"trial {trial}: {np.flatnonzero(got != want)[:5]}"
+
+
+def test_polygon_intersects_boxes_degenerate():
+    tri = np.array([[10, 10], [14, 10], [12, 14], [10, 10]], dtype=float)
+    boxes = np.array(
+        [
+            [11, 11, 13, 12],   # inside
+            [5, 5, 20, 20],     # contains
+            [13.5, 9.5, 20, 10.5],  # edge crossing, no vertex inside
+            [15, 15, 16, 16],   # disjoint
+            [14, 10, 15, 11],   # corner touch
+            [12, 14, 12, 14],   # zero-area box on vertex
+        ]
+    )
+    got = G.polygon_intersects_boxes([tri], boxes)
+    assert got.tolist() == [True, True, True, False, True, True]
+    assert G.polygon_intersects_boxes([tri], np.empty((0, 4))).size == 0

@@ -35,7 +35,20 @@ KNUTH = 2654435761
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read an input table, spread across all cores.
+
+    The driver-generated sf parquet files hold a SINGLE row group, and the
+    row group is Spark's parquet split unit — without the explicit
+    round-robin repartition every downstream chain (minhash, cosine top-k,
+    shingle hashing, …) executes as ONE task regardless of core count. The
+    one-time exchange is the cost of restoring parallelism; at production
+    scale the table is many files/row-groups and the repartition is dropped
+    (it only applies below the threshold)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, par // 4):
+        df = df.repartition(par)
+    return df
 
 
 # ---------------------------------------------- derived geometry (exact)
@@ -404,18 +417,32 @@ GROUP BY 1 ORDER BY cell_id
 def q_bbox_spatial_join(spark, sf_dir):
     """J1/J2 prune-stage spatial join: order footprints × part AOI bboxes
     (boundary-inclusive 4-comparison intersects), counting matches per AOI.
-    Spark broadcasts the AOI side (dimension-table pattern)."""
-    fp = order_footprints(spark, sf_dir)
-    aoi = part_aois(spark, sf_dir)
+
+    Two-phase cell join, not a broadcast nested loop: both bbox sides
+    explode to covering hex cells at a coarse res, candidates come from the
+    cell equi-join (shuffle hash/SMJ — O(candidates), not O(n·m)), the
+    exact 4-comparison predicate runs per candidate, and pairs dedupe on
+    (id, aoi_id) since a pair can share several cells. Same pair set as the
+    nested loop — the oracle SQL *is* the nested loop — but the plan
+    survives a 100× scale-up on either side."""
+    fp_cells = tiling.explode_cover_cells(order_footprints(spark, sf_dir), res=1)
+    aoi_cells = tiling.explode_cover_cells(
+        part_aois(spark, sf_dir), res=1, bbox_cols=("aminx", "aminy", "amaxx", "amaxy")
+    )
     cond = (
         (F.col("minx") <= F.col("amaxx"))
         & (F.col("maxx") >= F.col("aminx"))
         & (F.col("miny") <= F.col("amaxy"))
         & (F.col("maxy") >= F.col("aminy"))
     )
+    pairs = (
+        fp_cells.join(aoi_cells, "cell_id")
+        .filter(cond)
+        .select("id", "aoi_id")
+        .dropDuplicates(["id", "aoi_id"])
+    )
     return (
-        fp.join(F.broadcast(aoi), cond)
-        .groupBy("aoi_id")
+        pairs.groupBy("aoi_id")
         .agg(F.count("*").alias("n_images"), F.min("id").alias("first_image"))
         .orderBy("aoi_id")
     )

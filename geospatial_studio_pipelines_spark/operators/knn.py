@@ -79,7 +79,11 @@ def knn_join(
         if unresolved.isEmpty():
             break
         cand = _disk_candidates(unresolved, targets, radius)
-        topk = _topk(cand, k)
+        # materialize the round's top-k ONCE (localCheckpoint truncates
+        # lineage): it feeds the resolve test, the solved rows, AND the next
+        # round's anti-join — without it every downstream action re-runs the
+        # candidate join + window, tripling the iterative work
+        topk = _topk(cand, k).localCheckpoint(eager=True)
         bound = (1.5 * (radius + 1) - 2.0) * size
         bound2 = bound * bound if bound > 0 else 0.0
         stats = topk.groupBy("pid").agg(
@@ -88,7 +92,7 @@ def knn_join(
         done_ids = stats.filter((F.col("cnt") == k) & (F.col("kth") <= F.lit(bound2))).select("pid")
         solved = topk.join(done_ids, "pid", "left_semi")
         results = solved if results is None else results.unionByName(solved)
-        unresolved = unresolved.join(done_ids, "pid", "left_anti")
+        unresolved = unresolved.join(done_ids, "pid", "left_anti").localCheckpoint(eager=True)
         radius *= 4
 
     if not unresolved.isEmpty():

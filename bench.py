@@ -46,13 +46,22 @@ def bench_queries(spark):
         _materialize(fn())
         out[name] = round(time.time() - t0, 3)
 
+    # warmup (untimed): fork Python workers, trigger codegen + Arrow init so
+    # the first timed query doesn't absorb session startup
+    _materialize(contracts.q_cell_assignment(spark, SF_DIR))
+
     run("cell_assignment", lambda: contracts.q_cell_assignment(spark, SF_DIR))
     run("bbox_spatial_join", lambda: contracts.q_bbox_spatial_join(spark, SF_DIR))
     run("knn", lambda: contracts.q_knn(spark, SF_DIR))
 
-    images = footprints.with_footprint(datagen.images_df(spark, N_IMAGES))
+    # pre-materialize the synthetic image table (untimed) so image_tile_join
+    # measures the footprint→cell→R-tree join, not the PNG/DCT encode of the
+    # generator
+    images = footprints.with_footprint(datagen.images_df(spark, N_IMAGES)).persist()
+    _materialize(images)
     aois = datagen.aoi_pdf(N_AOIS)
     run("image_tile_join", lambda: spatial_join.broadcast_spatial_join(images, aois))
+    images.unpersist()
     run("image_pipeline", lambda: contracts.q_image_pipeline(spark, SF_DIR))
     run("minhash_near_dups", lambda: contracts.q_jaccard_near_dups(spark, SF_DIR))
     run("ann_topk", lambda: contracts.q_ann_topk(spark, SF_DIR))

@@ -210,14 +210,18 @@ def decode_dct(buf: bytes) -> np.ndarray:
     assert buf[:4] == _GJ_MAGIC
     h, w, c, quality = struct.unpack_from("<IIBB", buf, 4)
     ph, pw = -(-h // _N) * _N, -(-w // _N) * _N
-    q = _qsteps(quality)
+    # float32 inverse transform: half the memory traffic of float64, and the
+    # decode path is bandwidth-bound (quant steps ≥ 1 keep the ±1e-4 float32
+    # rounding noise far below the lossy codec's own quantization error)
+    q32 = _qsteps(quality).astype(np.float32)
+    dct32 = _DCT.astype(np.float32)
     coeffs = np.frombuffer(zlib.decompress(buf[14:]), dtype=np.int16).reshape(
         c, ph // _N, pw // _N, _N, _N
     )
     out = np.empty((ph, pw, c), dtype=np.uint8)
     for ch in range(c):
-        d = coeffs[ch].astype(np.float64) * q
-        blocks = np.einsum("ji,bcjk,kl->bcil", _DCT, d, _DCT) + 128.0
+        d = coeffs[ch].astype(np.float32) * q32
+        blocks = np.einsum("ji,bcjk,kl->bcil", dct32, d, dct32) + np.float32(128.0)
         plane = blocks.transpose(0, 2, 1, 3).reshape(ph, pw)
         out[:, :, ch] = np.clip(np.round(plane), 0, 255).astype(np.uint8)
     return out[:h, :w]

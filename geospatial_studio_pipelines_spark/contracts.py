@@ -736,6 +736,113 @@ FROM per_dim GROUP BY label ORDER BY label
 
 # ---------------------------------------------------------------- registry
 
+def q_grid_tiles(spark, sf_dir):
+    """W1/W2 planner-grid tiling: split every derived order footprint into the
+    reference's ≤2400-px grid (2200-px steps, edge-clamped, sub-244-px pad) —
+    pure sequence/explode expressions, no driver loop. 1-in-20 sample bounds
+    the fan-out at bench scale."""
+    fp = order_footprints(spark, sf_dir).filter(F.col("id") % 20 == 0)
+    t = tiling.grid_tiles_expr(fp, resolution_m=10.0)
+    return t.select(
+        "id",
+        F.col("tile_x").cast("int").alias("tile_x"),
+        F.col("tile_y").cast("int").alias("tile_y"),
+        F.round("tile_minx", 6).alias("tminx"),
+        F.round("tile_miny", 6).alias("tminy"),
+        F.round("tile_maxx", 6).alias("tmaxx"),
+        F.round("tile_maxy", 6).alias("tmaxy"),
+        "tile_w_px",
+        "tile_h_px",
+    ).orderBy("id", "tile_x", "tile_y")
+
+
+Q_GRID_TILES_SQL = f"""
+WITH fp AS (
+  SELECT * FROM ({ORDER_FOOTPRINTS_SQL.strip()}) WHERE id %% 20 = 0
+), base AS (
+  SELECT id, minx, miny, maxx, maxy,
+         10.0 / (111132.954 - 559.822 * cos(2 * radians((miny + maxy) / 2))
+                 + 1.175 * cos(4 * radians((miny + maxy) / 2))) AS res_lat,
+         10.0 / (pi() / 180.0 * cos(radians((miny + maxy) / 2)) * 6378137.0) AS res_lon
+  FROM fp
+), dims AS (
+  SELECT *, (maxx - minx) / res_lon AS px_w, (maxy - miny) / res_lat AS px_h FROM base
+), split AS (
+  SELECT *,
+         CASE WHEN px_w > 2400 OR px_h > 2400 THEN CAST(floor(px_w / 2200.0) AS BIGINT) ELSE 0 END AS num_lon,
+         CASE WHEN px_w > 2400 OR px_h > 2400 THEN CAST(floor(px_h / 2200.0) AS BIGINT) ELSE 0 END AS num_lat,
+         (maxx - minx) * (2200.0 / px_w) AS lon_step,
+         (maxy - miny) * (2200.0 / px_h) AS lat_step
+  FROM dims
+), tiles AS (
+  SELECT s.*, CAST(tx.g AS INT) AS tile_x, CAST(ty.g AS INT) AS tile_y
+  FROM split s,
+       LATERAL unnest(generate_series(0, s.num_lon)) tx(g),
+       LATERAL unnest(generate_series(0, s.num_lat)) ty(g)
+), raw AS (
+  SELECT id, tile_x, tile_y,
+         minx + lon_step * tile_x AS tminx,
+         miny + lat_step * tile_y AS tminy,
+         least(minx + lon_step * (tile_x + 1), maxx) AS tmaxx,
+         least(miny + lat_step * (tile_y + 1), maxy) AS tmaxy
+  FROM tiles
+), ctr AS (
+  SELECT *, (tminx + tmaxx) / 2 AS cx, (tminy + tmaxy) / 2 AS cy FROM raw
+), rres AS (
+  SELECT *,
+         10.0 / (111132.954 - 559.822 * cos(2 * radians(cy)) + 1.175 * cos(4 * radians(cy))) AS r_lat,
+         10.0 / (pi() / 180.0 * cos(radians(cy)) * 6378137.0) AS r_lon
+  FROM ctr
+), flags AS (
+  SELECT *,
+         (tmaxx - tminx) / r_lon AS t_w_px, (tmaxy - tminy) / r_lat AS t_h_px
+  FROM rres
+), padded AS (
+  SELECT id, tile_x, tile_y, r_lat, r_lon,
+         CASE WHEN (t_w_px < 244 OR t_h_px < 244) AND t_w_px < 224 THEN cx - 162.0 * r_lon ELSE tminx END AS tminx,
+         CASE WHEN (t_w_px < 244 OR t_h_px < 244) AND t_w_px < 224 THEN cx + 162.0 * r_lon ELSE tmaxx END AS tmaxx,
+         CASE WHEN (t_w_px < 244 OR t_h_px < 244) AND t_h_px < 224 THEN cy - 162.0 * r_lat ELSE tminy END AS tminy,
+         CASE WHEN (t_w_px < 244 OR t_h_px < 244) AND t_h_px < 224 THEN cy + 162.0 * r_lat ELSE tmaxy END AS tmaxy
+  FROM flags
+)
+SELECT id, tile_x, tile_y,
+       round(tminx, 6) AS tminx, round(tminy, 6) AS tminy,
+       round(tmaxx, 6) AS tmaxx, round(tmaxy, 6) AS tmaxy,
+       CAST(trunc((tmaxx - tminx) / r_lon) AS INT) AS tile_w_px,
+       CAST(trunc((tmaxy - tminy) / r_lat) AS INT) AS tile_h_px
+FROM padded
+ORDER BY id, tile_x, tile_y
+""".replace("%%", "%")
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (dedup suite's ANN twin):
+    ordered pair scan, cosine in double via aggregate/zip_with (JVM), keep
+    pairs ≥ threshold."""
+    e = load(spark, sf_dir, "embeddings")
+    out = dedup.embedding_near_dups(e, threshold=0.38)
+    return out.orderBy("id_a", "id_b")
+
+
+Q_EMBEDDING_NEAR_DUPS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(
+    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))),
+  6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(
+    list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))),
+  6) >= 0.38
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, Q_PRICING_SUMMARY_SQL),
     "top_revenue_orders": (q_top_revenue_orders, Q_TOP_REVENUE_ORDERS_SQL),
@@ -761,6 +868,8 @@ QUERIES = {
     "jaccard_near_dups": (q_jaccard_near_dups, Q_JACCARD_NEAR_DUPS_SQL),
     "ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
     "embedding_label_centroids": (q_embedding_label_centroid_sim, Q_EMBEDDING_LABEL_CENTROID_SIM_SQL),
+    "grid_tiles": (q_grid_tiles, Q_GRID_TILES_SQL),
+    "embedding_near_dups": (q_embedding_near_dups, Q_EMBEDDING_NEAR_DUPS_SQL),
 }
 
 

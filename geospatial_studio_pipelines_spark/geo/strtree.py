@@ -78,14 +78,42 @@ class STRtree:
         return self.order[nodes[hit]]
 
     def query_many(self, qboxes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Batch query: (Q,4) boxes -> (query_idx, tree_idx) candidate pairs."""
-        qi: list[np.ndarray] = []
-        ti: list[np.ndarray] = []
-        for i, (a, b, c, d) in enumerate(np.asarray(qboxes, dtype=np.float64)):
-            hits = self.query(a, b, c, d)
-            if len(hits):
-                qi.append(np.full(len(hits), i, dtype=np.int64))
-                ti.append(hits)
-        if not qi:
+        """Batch query: (Q,4) boxes -> (query_idx, tree_idx) candidate pairs.
+
+        Level-synchronous frontier traversal, vectorized across ALL queries
+        at once: the frontier is a flat (query_idx, node_idx) pair array that
+        is MBR-tested and child-expanded per level with numpy ops — no
+        Python-per-query loop (a 16k-row Arrow batch costs a handful of
+        numpy passes, not 16k tree walks)."""
+        q = np.asarray(qboxes, dtype=np.float64).reshape(-1, 4)
+        nq = len(q)
+        if self.n == 0 or nq == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-        return np.concatenate(qi), np.concatenate(ti)
+        if self.levels:
+            nroot = len(self.levels[0])
+            qi = np.repeat(np.arange(nq, dtype=np.int64), nroot)
+            nodes = np.tile(np.arange(nroot, dtype=np.int64), nq)
+            for i, lvl in enumerate(self.levels):
+                b = lvl[nodes]
+                qb = q[qi]
+                hit = (
+                    (b[:, 0] <= qb[:, 2]) & (b[:, 2] >= qb[:, 0])
+                    & (b[:, 1] <= qb[:, 3]) & (b[:, 3] >= qb[:, 1])
+                )
+                qi, nodes = qi[hit], nodes[hit]
+                child = (nodes[:, None] * _NODE_CAP + np.arange(_NODE_CAP)[None, :]).ravel()
+                qi = np.repeat(qi, _NODE_CAP)
+                next_size = len(self.levels[i + 1]) if i + 1 < len(self.levels) else len(self.leaf_boxes)
+                ok = child < next_size
+                qi, nodes = qi[ok], child[ok]
+        else:  # n <= _NODE_CAP: single leaf run, no upper levels
+            nleaf = len(self.leaf_boxes)
+            qi = np.repeat(np.arange(nq, dtype=np.int64), nleaf)
+            nodes = np.tile(np.arange(nleaf, dtype=np.int64), nq)
+        b = self.leaf_boxes[nodes]
+        qb = q[qi]
+        hit = (
+            (b[:, 0] <= qb[:, 2]) & (b[:, 2] >= qb[:, 0])
+            & (b[:, 1] <= qb[:, 3]) & (b[:, 3] >= qb[:, 1])
+        )
+        return qi[hit], self.order[nodes[hit]]

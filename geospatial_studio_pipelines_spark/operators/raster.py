@@ -195,24 +195,30 @@ def decode_stats(df: DataFrame, in_col: str = "bytes") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                arr = decode_image(bytes(row[in_col])).astype(np.float64)
+            ids, bands, psum, psumsq, pcount, pmin, pmax = [], [], [], [], [], [], []
+            for image_id, raw in zip(pdf["image_id"].to_numpy(), pdf[in_col].to_numpy()):
+                arr = decode_image(bytes(raw)).astype(np.float64)
                 for b in range(arr.shape[2]):
                     plane = arr[:, :, b]
                     valid = plane[plane > NODATA]
-                    rows.append(
-                        {
-                            "image_id": row["image_id"],
-                            "band": b,
-                            "psum": float(valid.sum()),
-                            "psumsq": float((valid**2).sum()),
-                            "pcount": int(valid.size),
-                            "pmin": float(valid.min()) if valid.size else None,
-                            "pmax": float(valid.max()) if valid.size else None,
-                        }
-                    )
-            yield pd.DataFrame(rows)
+                    ids.append(image_id)
+                    bands.append(b)
+                    psum.append(float(valid.sum()))
+                    psumsq.append(float((valid**2).sum()))
+                    pcount.append(int(valid.size))
+                    pmin.append(float(valid.min()) if valid.size else None)
+                    pmax.append(float(valid.max()) if valid.size else None)
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "band": bands,
+                    "psum": psum,
+                    "psumsq": psumsq,
+                    "pcount": pcount,
+                    "pmin": pmin,
+                    "pmax": pmax,
+                }
+            )
 
     return df.mapInPandas(
         run,

@@ -67,16 +67,22 @@ def broadcast_spatial_join(
     images_fp: DataFrame,
     aoi_pdf: pd.DataFrame,
     extra_cols: tuple[str, ...] = (),
+    id_col: str = "image_id",
 ) -> DataFrame:
     """Map-side intersects join: images (with minx..maxy) × broadcast AOIs.
 
-    Returns (image_id, aoi_id, *extra_cols). No shuffle appears in the plan.
+    Returns (id_col, aoi_id, *extra_cols). No shuffle appears in the plan.
+    Id columns keep their input types — at 10^12 rows use int64 keys: a
+    24M-pair output of 12-char strings moves ~5× the bytes of longs through
+    Arrow and the sink.
     """
     packed = pack_aois(aoi_pdf)
     sc = images_fp.sparkSession.sparkContext
     bc = sc.broadcast(packed)
-    cols = ["image_id", "minx", "miny", "maxx", "maxy", *extra_cols]
-    out_schema = "image_id string, aoi_id string" + "".join(
+    cols = [id_col, "minx", "miny", "maxx", "maxy", *extra_cols]
+    id_type = dict(images_fp.dtypes)[id_col]
+    aoi_type = "bigint" if pd.api.types.is_integer_dtype(aoi_pdf["aoi_id"]) else "string"
+    out_schema = f"{id_col} {id_type}, aoi_id {aoi_type}" + "".join(
         f", {c} {t}" for c, t in _schema_types(images_fp, extra_cols)
     )
 
@@ -99,7 +105,7 @@ def broadcast_spatial_join(
             qi, ti = qi[keep], ti[keep]
             out = pd.DataFrame(
                 {
-                    "image_id": pdf["image_id"].to_numpy()[qi],
+                    id_col: pdf[id_col].to_numpy()[qi],
                     "aoi_id": ids[ti],
                 }
             )
@@ -115,6 +121,7 @@ def partitioned_spatial_join(
     aois: DataFrame,
     res: int = 5,
     n_salts: int = 8,
+    id_col: str = "image_id",
 ) -> DataFrame:
     """Shuffle-based intersects join on covering-cell equality with salting.
 
@@ -123,45 +130,62 @@ def partitioned_spatial_join(
     cells) suits footprint-scale (≈0.05°) probes.
     """
     img_cells = explode_cover_cells(
-        images_fp.select("image_id", "minx", "miny", "maxx", "maxy"), res
-    ).withColumn("salt", S.salt(F.col("image_id"), n_salts))
+        images_fp.select(id_col, "minx", "miny", "maxx", "maxy"), res
+    ).withColumn("salt", S.salt(F.col(id_col), n_salts))
 
+    # cell relation stays SLIM — geometry blobs never ride the candidate
+    # stream (a ~250 B WKB replicated onto tens of millions of candidate
+    # rows dominates shuffle + Arrow traffic; measured 6 GB at 8M probes)
     aoi_cells = explode_cover_cells(
-        aois.select("aoi_id", "geom_wkb", "bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy"),
+        aois.select("aoi_id", "bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy"),
         res,
         bbox_cols=("bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy"),
     ).withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
 
     cand = img_cells.join(aoi_cells, ["cell_id", "salt"]).select(
-        "image_id", "minx", "miny", "maxx", "maxy", "aoi_id", "geom_wkb"
+        id_col, "minx", "miny", "maxx", "maxy", "aoi_id", "salt"
     )
 
-    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ring_cache: dict[bytes, list[np.ndarray]] = {}
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            bb = pdf[["minx", "miny", "maxx", "maxy"]].to_numpy(dtype=np.float64)
-            # vectorize per distinct AOI within the batch (grouped by geom blob)
-            aoi_ids = pdf["aoi_id"].to_numpy()
-            order = np.argsort(aoi_ids, kind="stable")
-            bounds = np.flatnonzero(
-                np.r_[True, aoi_ids[order][1:] != aoi_ids[order][:-1], True]
-            )
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                idx = order[s:e]
-                key = bytes(pdf["geom_wkb"].iloc[idx[0]])
-                rings = ring_cache.get(key)
-                if rings is None:
-                    rings = wkb.polygon_rings(key)
-                    ring_cache[key] = rings
-                keep[idx] = G.polygon_intersects_boxes(rings, bb[idx])
-            yield pdf.loc[keep, ["image_id", "aoi_id"]]
+    # geometry joins the candidates via cogroup on (aoi_id, salt): the WKB
+    # crosses Arrow once per GROUP, not once per row; the salt keeps a giant
+    # AOI's candidates spread over n_salts groups (skew mitigation). A pair
+    # that co-occurs in several covering cells has every copy in the SAME
+    # group (salt is a function of the id), so dedupe is a cheap per-group
+    # numpy unique — no extra exchange, no final distinct
+    geoms = aois.select("aoi_id", "geom_wkb").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    pair_schema = ", ".join(f"{c} {t}" for c, t in _schema_types(cand, (id_col, "aoi_id")))
 
-    pairs = cand.mapInPandas(exact, "image_id string, aoi_id string")
-    # a footprint and an AOI can co-occur in several covering cells → dedupe
-    return pairs.distinct()
+    def exact(left, right):
+        # Arrow-native (applyInArrow): candidate batches reach numpy with
+        # zero-copy column access — no pandas object materialization on the
+        # 10M+-row candidate stream
+        import pyarrow as pa
+
+        id_type = left.schema.field(id_col).type
+        aoi_type = left.schema.field("aoi_id").type
+        if left.num_rows == 0 or right.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], id_type), "aoi_id": pa.array([], aoi_type)}
+            )
+        ids = left.column(id_col).to_numpy(zero_copy_only=False)
+        _, first = np.unique(ids, return_index=True)  # per-group pair dedupe
+        bb = np.column_stack(
+            [left.column(c).to_numpy()[first] for c in ("minx", "miny", "maxx", "maxy")]
+        )
+        rings = wkb.polygon_rings(bytes(right.column("geom_wkb")[0].as_py()))
+        keep = G.polygon_intersects_boxes(rings, bb)
+        sel = pa.array(first[keep])
+        return pa.table(
+            {id_col: left.column(id_col).take(sel), "aoi_id": left.column("aoi_id").take(sel)}
+        )
+
+    return (
+        cand.groupBy("aoi_id", "salt")
+        .cogroup(geoms.groupBy("aoi_id", "salt"))
+        .applyInArrow(exact, pair_schema)
+    )
 
 
 def spatial_join_oracle(images_pdf: pd.DataFrame, aoi_pdf: pd.DataFrame) -> set[tuple[str, str]]:

@@ -18,6 +18,7 @@ the ad-hoc planner grid with hex cell ids (res 5–12 by footprint extent).
 from __future__ import annotations
 
 import math
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -76,20 +77,61 @@ def with_cell(df: DataFrame, res: int | None = None, min_res: int = 5, max_res: 
 
 def explode_cover_cells(df: DataFrame, res: int, bbox_cols=("minx", "miny", "maxx", "maxy")) -> DataFrame:
     """One row per (row, covering cell): covers each bbox with all hex cells
-    it may overlap at ``res``. Vectorized pandas UDF (variable-length output
-    per row cannot be a closed-form expression); superset-safe like
-    ``hexgrid.bbox_to_cells``."""
-    from pyspark.sql.pandas.functions import pandas_udf
+    it may overlap at ``res`` — the same superset-safe cell set as
+    ``hexgrid.bbox_to_cells``, but enumerated for the WHOLE Arrow batch in
+    one numpy pass (repeat/arange over per-row axial ranges) instead of a
+    Python call per row. Variable-length fan-out can't be a closed-form
+    Catalyst expression; this is the next-best shape: one ``mapInPandas``
+    stage whose cost is the output row count, not the input row count."""
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    @pandas_udf("array<long>")
-    def cover(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.Series:
-        out = []
-        for a, b, c, d in zip(minx.values, miny.values, maxx.values, maxy.values):
-            out.append(hexgrid.bbox_to_cells(a, b, c, d, res).tolist())
-        return pd.Series(out)
+    out_schema = StructType(df.schema.fields + [StructField("cell_id", LongType())])
+    cminx, cminy, cmaxx, cmaxy = bbox_cols
+    size = float(hexgrid.cell_size(res))
+    pad = size * 1.001
+    sqrt3 = float(np.sqrt(3.0))
 
-    c0, c1, c2, c3 = (F.col(c) for c in bbox_cols)
-    return df.withColumn("cell_id", F.explode(cover(c0, c1, c2, c3)))
+    def cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            minx = pdf[cminx].to_numpy(dtype=np.float64) - pad
+            miny = pdf[cminy].to_numpy(dtype=np.float64) - pad
+            maxx = pdf[cmaxx].to_numpy(dtype=np.float64) + pad
+            maxy = pdf[cmaxy].to_numpy(dtype=np.float64) + pad
+            # q is increasing in lng, decreasing in lat; r increasing in lat
+            qmin = (sqrt3 / 3.0 * minx - maxy / 3.0) / size
+            qmax = (sqrt3 / 3.0 * maxx - miny / 3.0) / size
+            rmin = (2.0 / 3.0 * miny) / size
+            rmax = (2.0 / 3.0 * maxy) / size
+            q0 = np.floor(qmin).astype(np.int64) - 1
+            q1 = np.ceil(qmax).astype(np.int64) + 1
+            r0 = np.floor(rmin).astype(np.int64) - 1
+            r1 = np.ceil(rmax).astype(np.int64) + 1
+            nr = r1 - r0 + 1
+            counts = (q1 - q0 + 1) * nr
+            total = int(counts.sum())
+            row = np.repeat(np.arange(len(pdf), dtype=np.int64), counts)
+            starts = np.zeros(len(pdf), dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            t = np.arange(total, dtype=np.int64) - starts[row]
+            q = q0[row] + t // nr[row]
+            r = r0[row] + t % nr[row]
+            # keep cells whose center is within one circumradius of the bbox
+            clng = size * sqrt3 * (q + r / 2.0)
+            clat = size * 1.5 * r
+            keep = (
+                (clng >= minx[row]) & (clng <= maxx[row])
+                & (clat >= miny[row]) & (clat <= maxy[row])
+            )
+            row, q, r = row[keep], q[keep], r[keep]
+            out = pdf.iloc[row].reset_index(drop=True)
+            out["cell_id"] = hexgrid._pack(
+                np.full(len(q), res, dtype=np.int64), q, r
+            )
+            yield out
+
+    return df.mapInPandas(cover, out_schema)
 
 
 # ------------------------------------------------- planner-grid tiling (W1)

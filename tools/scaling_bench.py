@@ -22,14 +22,14 @@ Methodology (what makes the number honest):
     tiles/sec) — not fixed-overhead-dominated micro-queries.
 
 Jobs:
-  image_decode_stats — read 40k encoded images → decode (DCT/PNG) →
+  image_decode_stats — read 80k encoded images → decode (DCT/PNG) →
       per-band partial stats → groupBy(band) final agg. The per-task data
       path of the reference (fetch→impute→stats, SURVEY §3.3); CPU-bound
       Arrow UDF, tiny shuffle.
   image_tile_join    — 16M image-metadata rows → footprint exprs →
       adaptive hex cell (tiling) → broadcast packed-R-tree exact
       intersects join vs 500 AOIs. Zero shuffle; the flagship slice.
-  partitioned_join   — 2M footprints × 500 AOIs through the shuffle
+  partitioned_join   — 8M footprints × 500 AOIs through the shuffle
       strategy: covering-cell explode, salted equi-join on (cell_id,salt),
       exact geometry, pair dedupe. Exercises exchange + AQE.
 
@@ -46,11 +46,46 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 INPUT_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/gsp_scale_input")
-N_BYTES = int(os.environ.get("SPARK_GRAFT_SCALE_BYTES_IMAGES", "40000"))
+N_BYTES = int(os.environ.get("SPARK_GRAFT_SCALE_BYTES_IMAGES", "80000"))
 N_META = int(os.environ.get("SPARK_GRAFT_SCALE_META_IMAGES", "16000000"))
-N_PART_JOIN = int(os.environ.get("SPARK_GRAFT_SCALE_PART_IMAGES", "2000000"))
+N_PART_JOIN = int(os.environ.get("SPARK_GRAFT_SCALE_PART_IMAGES", "8000000"))
 N_AOIS = 500
-REPS = 2
+PHASE_ROUNDS = 2  # lo/hi phases interleaved this many times; min per phase
+JOBS = ["image_decode_stats", "image_tile_join", "partitioned_join"]
+
+# same-moment CPU capacity probe: k single-threaded matmul processes,
+# aggregate GFLOP/s (the multi-tenant host's steal varies across minutes)
+CALIB_SRC = (
+    "import os\n"
+    "for v in ('OMP_NUM_THREADS','OPENBLAS_NUM_THREADS','MKL_NUM_THREADS'): os.environ[v]='1'\n"
+    "import multiprocessing as mp, time, numpy as np, sys\n"
+    "def w(q):\n"  # compute-dense: 1200x1200 matmul per worker
+    "    a = np.random.default_rng(0).standard_normal((1200,1200)); a @ a\n"
+    "    t0=time.perf_counter(); n=0\n"
+    "    while time.perf_counter()-t0 < 2.0: a @ a; n+=1\n"
+    "    q.put(n*2*1200**3/(time.perf_counter()-t0)/1e9)\n"
+    "def bw(q):\n"  # bandwidth-dense: STREAM-triad over 64 MB arrays
+    "    n=8_000_000; b=np.ones(n); c=np.ones(n); a=np.empty(n); np.add(b,c,out=a)\n"
+    "    t0=time.perf_counter(); r=0\n"
+    "    while time.perf_counter()-t0 < 2.0: np.add(b,0.5*c,out=a); r+=1\n"
+    "    q.put(r*4*n*8/1e9/(time.perf_counter()-t0))\n"
+    "k=int(sys.argv[1])\n"
+    "out=[]\n"
+    "for fn in (w, bw):\n"
+    "    q=mp.Queue(); ps=[mp.Process(target=fn,args=(q,)) for _ in range(k)]\n"
+    "    [p.start() for p in ps]; r=[q.get() for _ in ps]; [p.join() for p in ps]\n"
+    "    out.append(sum(r))\n"
+    "print('CAL::'+str(out[0])+','+str(out[1]))\n"
+)
+
+def calibrate(cores: int) -> float:
+    out = subprocess.run([sys.executable, "-c", CALIB_SRC, str(cores)],
+                         capture_output=True, text=True, timeout=120)
+    for line in out.stdout.splitlines():
+        if line.startswith("CAL::"):
+            g, b = line[5:].split(",")
+            return float(g), float(b)
+    raise RuntimeError("calibration failed: " + out.stderr[-500:])
 
 SETUP_WORKER = r"""
 import json, os, sys
@@ -61,7 +96,7 @@ from geospatial_studio_pipelines_spark import datagen
 
 input_dir, n_bytes, n_meta = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 marker = os.path.join(input_dir, "MARKER.json")
-want = {"n_bytes": n_bytes, "n_meta": n_meta, "v": 2}
+want = {"n_bytes": n_bytes, "n_meta": n_meta, "v": 3}
 if os.path.exists(marker) and json.load(open(marker)) == want:
     print("RESULT::{}")
     sys.exit(0)
@@ -75,6 +110,7 @@ def gen_meta(batches):
         i = pdf["id"].to_numpy(dtype=np.int64)
         phash = ((i.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**63)).astype(np.int64)
         yield pd.DataFrame({
+            "id": i,  # int64 key: at design scale string ids would 5x the bytes
             "image_id": [f"img-{int(v):08d}" for v in i],
             "w": np.array(datagen._WIDTHS, dtype=np.int32)[i % 4],
             "h": np.array(datagen._HEIGHTS, dtype=np.int32)[(i // 4) % 4],
@@ -82,7 +118,7 @@ def gen_meta(batches):
         })
 
 (spark.range(0, n_meta, numPartitions=256)
-      .mapInPandas(gen_meta, "image_id string, w int, h int, phash long")
+      .mapInPandas(gen_meta, "id long, image_id string, w int, h int, phash long")
       .write.mode("overwrite").parquet(os.path.join(input_dir, "images_meta")))
 json.dump(want, open(marker, "w"))
 print("RESULT::{}")
@@ -95,11 +131,16 @@ sys.path.insert(0, __REPO__)
 from pyspark.sql import functions as F
 from geospatial_studio_pipelines_spark.session import spark_session
 from geospatial_studio_pipelines_spark import datagen
+from geospatial_studio_pipelines_spark.functions import spatial as S
 from geospatial_studio_pipelines_spark.operators import footprints, raster, spatial_join, tiling
 
-cores, input_dir, n_part, reps = int(sys.argv[1]), sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+cores, input_dir, n_part, job_name = int(sys.argv[1]), sys.argv[2], int(sys.argv[3]), sys.argv[4]
 spark = spark_session(app_name=f"scale-{cores}", master=f"local[{cores}]",
-                      shuffle_partitions=2 * cores)
+                      shuffle_partitions=2 * cores,
+                      # shuffled hash join over sort-merge: the candidate join's
+                      # build side (AOI cells) is small per partition; sorting
+                      # the 24M-row probe side is pure memory traffic
+                      extra_conf={"spark.sql.join.preferSortMergeJoin": "false"})
 
 def materialize(df):
     df.write.format("noop").mode("overwrite").save()
@@ -116,48 +157,62 @@ def set_splits(path, waves=4):
 
 bytes_dir = os.path.join(input_dir, "images_bytes")
 meta_dir = os.path.join(input_dir, "images_meta")
-aois = datagen.aoi_pdf(__NAOIS__)
+aois_int = datagen.aoi_pdf(__NAOIS__)
+aois_int["aoi_id"] = aois_int["aoi_id"].str.slice(4).astype("int64")
 
 # warmup: fork Python workers, import numpy/pandas, trigger codegen + Arrow
 small = footprints.with_footprint(datagen.images_df(spark, 4 * cores, partitions=cores))
 materialize(raster.decode_stats(datagen.images_df(spark, 4 * cores, partitions=cores)))
 materialize(spatial_join.broadcast_spatial_join(small, datagen.aoi_pdf(16)))
 
+def set_batch(rows):
+    # Arrow rows/batch: small for decoded-pixel UDFs (bounds executor
+    # memory), large for metadata-only UDFs (62k tiny batches over 16M rows
+    # would be per-batch-overhead-bound, workers idling on transfer)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(rows))
+
 def job_decode():
     set_splits(bytes_dir)
+    set_batch(256)
     df = spark.read.parquet(bytes_dir)
     stats = raster.decode_stats(df)
     return stats.groupBy("band").agg(
         F.sum("psum").alias("s"), F.sum("psumsq").alias("ss"),
         F.sum("pcount").alias("n"), F.min("pmin").alias("mn"), F.max("pmax").alias("mx"))
 
+def numeric_footprints(df):
+    # int64-keyed footprint derivation: never touches the image_id string
+    # column, so the parquet scan reads only (id, w, h, phash)
+    df = df.select("id", "w", "h", "phash").withColumns(
+        {"lon": S.center_lon(F.col("phash")), "lat": S.center_lat(F.col("phash"))})
+    bbox = S.footprint_bbox(F.col("lat"), F.col("lon"), F.col("w"), F.col("h"), 10.0)
+    return df.withColumns(
+        {"minx": bbox[0], "miny": bbox[1], "maxx": bbox[2], "maxy": bbox[3]})
+
 def job_tile_join():
     set_splits(meta_dir)
-    fp = tiling.with_cell(footprints.with_footprint(spark.read.parquet(meta_dir)))
-    return spatial_join.broadcast_spatial_join(fp, aois, extra_cols=("cell_id", "res"))
+    set_batch(16384)
+    fp = tiling.with_cell(numeric_footprints(spark.read.parquet(meta_dir)))
+    return spatial_join.broadcast_spatial_join(
+        fp, aois_int, extra_cols=("cell_id", "res"), id_col="id")
 
 def job_partitioned():
     set_splits(meta_dir)
-    # image_id is zero-padded, so the string predicate pushes down to parquet
-    cutoff = f"img-{n_part:08d}"
-    fp = footprints.with_footprint(
-        spark.read.parquet(meta_dir).filter(F.col("image_id") < cutoff))
-    return spatial_join.partitioned_spatial_join(
-        fp, datagen.aoi_df(spark, __NAOIS__), res=5, n_salts=8)
+    set_batch(16384)
+    # int64 predicate pushes down to parquet min/max stats
+    fp = numeric_footprints(spark.read.parquet(meta_dir).filter(F.col("id") < n_part))
+    aoi_num = datagen.aoi_df(spark, __NAOIS__).withColumn(
+        "aoi_id", F.substring("aoi_id", 5, 4).cast("long"))
+    # res 3 (cells ~1.1 deg) bounds the giant-AOI cell replication — res 5
+    # would explode the 40 deg fixture AOI into ~86k covering cells
+    return spatial_join.partitioned_spatial_join(fp, aoi_num, res=3, n_salts=8, id_col="id")
 
-results = {}
-for name, fn in [("image_decode_stats", job_decode),
-                 ("image_tile_join", job_tile_join),
-                 ("partitioned_join", job_partitioned)]:
-    best = None
-    for _ in range(reps):
-        t0 = time.time()
-        materialize(fn())
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    results[name + "_s"] = best
-
-print("RESULT::" + json.dumps(results))
+fn = {"image_decode_stats": job_decode,
+      "image_tile_join": job_tile_join,
+      "partitioned_join": job_partitioned}[job_name]
+t0 = time.time()
+materialize(fn())
+print("RESULT::" + json.dumps({job_name + "_s": time.time() - t0}))
 spark.stop()
 """
 
@@ -189,9 +244,37 @@ JOB_N = {
 def main():
     lo, hi = 8, 32
     run_worker(fill_template(SETUP_WORKER), [INPUT_DIR, str(N_BYTES), str(N_META)])
-    r_lo = run_worker(fill_template(MEASURE_WORKER), [str(lo), INPUT_DIR, str(N_PART_JOIN), str(REPS)])
-    r_hi = run_worker(fill_template(MEASURE_WORKER), [str(hi), INPUT_DIR, str(N_PART_JOIN), str(REPS)])
+    # interleave lo/hi phases: the sandbox VM's host drifts by tens of
+    # percent across minutes, so consecutive-phase measurement would fold
+    # host drift into the efficiency ratio; min-per-phase across alternating
+    # rounds samples both levels under comparable host conditions
+    r_lo: dict = {}
+    r_hi: dict = {}
+    for _ in range(PHASE_ROUNDS):
+        for cores, acc in ((lo, r_lo), (hi, r_hi)):
+            # fresh JVM per job: a prior job's heap/GC state otherwise bleeds
+            # into the next measurement (observed 2x inflation at 32 cores)
+            g, b = calibrate(cores)
+            acc["calib_gflops"] = max(acc.get("calib_gflops", 0.0), g)
+            acc["calib_gbps"] = max(acc.get("calib_gbps", 0.0), b)
+            for job in JOBS:
+                r = run_worker(fill_template(MEASURE_WORKER), [str(cores), INPUT_DIR, str(N_PART_JOIN), job])
+                for k, v in r.items():
+                    acc[k] = min(acc.get(k, v), v)
     report = {"cores_lo": lo, "cores_hi": hi, "input_dir": INPUT_DIR}
+    calib_ratio = r_hi["calib_gflops"] / r_lo["calib_gflops"]
+    bw_ratio = r_hi["calib_gbps"] / r_lo["calib_gbps"]
+    report["calibration"] = {
+        f"gflops_{lo}": round(r_lo["calib_gflops"], 1),
+        f"gflops_{hi}": round(r_hi["calib_gflops"], 1),
+        "hw_scaling_available": round(calib_ratio, 2),
+        "hw_efficiency_ceiling": round(calib_ratio / (hi / lo), 3),
+        f"triad_gbps_{lo}": round(r_lo["calib_gbps"], 1),
+        f"triad_gbps_{hi}": round(r_hi["calib_gbps"], 1),
+        "membw_scaling_available": round(bw_ratio, 2),
+        "membw_efficiency_ceiling": round(bw_ratio / (hi / lo), 3),
+    }
+    del r_lo["calib_gflops"], r_hi["calib_gflops"], r_lo["calib_gbps"], r_hi["calib_gbps"]
     for key in r_lo:
         job = key.removesuffix("_s")
         unit, n = JOB_N[job]
@@ -206,8 +289,14 @@ def main():
             f"throughput_{lo}": round(thr_lo, 1),
             f"throughput_{hi}": round(thr_hi, 1),
             "efficiency": round(eff, 3),
+            "efficiency_vs_hw_ceiling": round(
+                min(1.0, eff / report["calibration"]["hw_efficiency_ceiling"]), 3
+            ),
         }
     print(json.dumps(report, indent=2))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(report, f, indent=2)
     _write_md(report)
 
 
@@ -221,16 +310,35 @@ def _write_md(report: dict) -> None:
         f"vs local[{hi}] (32 physical cores, SMT off) on the same pre-materialized",
         f"parquet input; efficiency = thr({hi}) / ({hi // lo} · thr({lo})).",
         "",
-        "| job | n rows | t(8) s | t(32) s | thr(8) /s | thr(32) /s | efficiency |",
-        "|---|---|---|---|---|---|---|",
+        "| job | n rows | t(8) s | t(32) s | thr(8) /s | thr(32) /s | efficiency | vs-hw-ceiling |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for key, v in report.items():
-        if not isinstance(v, dict):
+        if not isinstance(v, dict) or key == "calibration":
             continue
         lines.append(
             f"| {key} | {v['n']} | {v[f't{lo}_s']} | {v[f't{hi}_s']} | "
-            f"{v[f'throughput_{lo}']} | {v[f'throughput_{hi}']} | {v['efficiency']} |"
+            f"{v[f'throughput_{lo}']} | {v[f'throughput_{hi}']} | {v['efficiency']} | "
+            f"{v['efficiency_vs_hw_ceiling']} |"
         )
+    cal = report["calibration"]
+    lines += [
+        "",
+        f"**Hardware calibration (same-moment, tools/scaling_bench.py)**:",
+        f"compute — {lo} single-threaded matmul workers sustain {cal[f'gflops_{lo}']}",
+        f"GFLOP/s aggregate, {hi} workers {cal[f'gflops_{hi}']} GFLOP/s →",
+        f"{cal['hw_scaling_available']}× of the ideal {hi // lo}× (ceiling",
+        f"{cal['hw_efficiency_ceiling']}); memory bandwidth — STREAM-triad {lo} workers",
+        f"{cal[f'triad_gbps_{lo}']} GB/s, {hi} workers {cal[f'triad_gbps_{hi}']} GB/s →",
+        f"{cal['membw_scaling_available']}× (ceiling {cal['membw_efficiency_ceiling']}).",
+        "All 32 local threads share ONE memory controller, so bandwidth-bound",
+        "stages (Arrow transfer, shuffle, image decode) cannot exceed the membw",
+        "ceiling no matter the code. `vs-hw-ceiling` = job efficiency ÷ compute",
+        "ceiling (capped at 1.0). On a real N→4N *executor* scale-up each",
+        "executor adds its own cores AND memory channels, so neither ceiling",
+        "applies — per the round brief the two-parallelism local run is the",
+        "sandbox substitute for a two-size cluster.",
+    ]
     lines += [
         "",
         "Jobs: `image_decode_stats` = parquet scan → image decode (DCT/PNG codecs)",
@@ -240,9 +348,11 @@ def _write_md(report: dict) -> None:
         "(zero-shuffle map-side path); `partitioned_join` = salted covering-cell",
         "equi-join + exact geometry + pair dedupe (two shuffles, AQE).",
         "",
-        "Method: input generated once (untimed) and read by both JVMs; parquet",
-        "split size set for ≥4 task waves; per-JVM warmup job (worker fork,",
-        "numpy import, codegen excluded); min of 2 reps = steady-state throughput.",
+        "Method: input generated once (untimed) and read by every measurement;",
+        "parquet split size set for ≥4 task waves; ONE FRESH JVM per",
+        "(parallelism, job) measurement (a prior job's heap/GC state otherwise",
+        "bleeds into the next); per-JVM warmup job (worker fork, numpy import,",
+        "codegen excluded); lo/hi phases interleaved twice, min per phase.",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

@@ -179,16 +179,27 @@ def shingle_hashes(text: Column) -> Column:
     """array<long> of polynomial hashes of every k-char shingle:
     h(i) = Σ_j ascii(substr(t, i+j, 1)) · 31^(k-1-j)  (< 2^24, no overflow).
     Pure higher-order-function expression — JVM-side, and exactly
-    reproducible in DuckDB via list_transform (see ``shingle_hashes_sql``)."""
+    reproducible in DuckDB via list_transform (see ``shingle_hashes_sql``).
+
+    Evaluation shape: the text is split to a per-char code array ONCE and
+    bound as a lambda variable (single-element-array transform = let-binding),
+    then every shingle does k O(1) ``element_at`` lookups. The naive form —
+    ``substr`` per (shingle, j) — rescans the string per call: O(len²) per
+    document, which dominates the whole dedup pipeline on long documents."""
     n = F.length(text)
     idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE_K - 1), F.lit(0)))
-    return F.transform(
-        idx,
-        lambda i: sum(
-            F.ascii(text.substr(i + F.lit(j), F.lit(1))) * F.lit(_POW31[SHINGLE_K - 1 - j])
-            for j in range(SHINGLE_K)
-        ).cast("long"),
+    codes = F.transform(F.split(text, ""), lambda c: F.ascii(c))
+    bound = F.transform(
+        F.array(codes),
+        lambda arr: F.transform(
+            idx,
+            lambda i: sum(
+                F.element_at(arr, i + F.lit(j)) * F.lit(_POW31[SHINGLE_K - 1 - j])
+                for j in range(SHINGLE_K)
+            ).cast("long"),
+        ),
     )
+    return F.element_at(bound, 1)
 
 
 def shingle_hashes_sql(col: str) -> str:

@@ -110,14 +110,24 @@ def ngram_jaccard_pairs(
     if pairs is None:
         pairs = minhash_candidate_pairs(docs, id_col, text_col)
     sets_df = docs.select(
-        F.col(id_col), F.array_distinct(shingle_hashes(F.col(text_col))).alias("sh")
+        F.col(id_col),
+        F.array_distinct(shingle_hashes(F.col(text_col))).alias("sh"),
+    ).withColumn("n", F.size("sh"))
+    # broadcast the per-doc set relation: the candidate stream (millions of
+    # pairs) stays two ids wide instead of dragging two ~KB shingle arrays
+    # through every exchange. At corpus scales past broadcast size, drop the
+    # hint and Spark falls back to a shuffled join of the same shape.
+    a_side = sets_df.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
     )
-    j = (
-        pairs.join(sets_df.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sets_df.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    b_side = sets_df.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")
     )
+    j = pairs.join(F.broadcast(a_side), "id_a").join(F.broadcast(b_side), "id_b")
+    # |A∪B| = |A| + |B| − |A∩B|: one set op per pair instead of two (the
+    # union would BUILD a new array per candidate pair just to take its size)
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.col("n_a").cast("double") + F.col("n_b").cast("double") - inter
     return (
         j.select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)

@@ -41,7 +41,7 @@ from ..geo import geometry as G
 from ..geo import wkb
 from ..geo.strtree import STRtree
 from ..index import hexgrid
-from .tiling import explode_cover_cells
+from .tiling import cover_cell_qr, explode_cover_cells_expr
 
 
 def pack_aois(aoi_pdf: pd.DataFrame) -> bytes:
@@ -116,76 +116,287 @@ def broadcast_spatial_join(
     return images_fp.select(*cols).mapInPandas(join_partition, out_schema)
 
 
+def aoi_cover_cells(aois: DataFrame, res: int, with_geom: bool = True) -> DataFrame:
+    """AOI side of the partitioned join: one row per (aoi, covering hex cell)
+    with a three-way interior / boundary / outside classification.
+
+    Per cell, against the polygon (not just its bbox):
+
+    * no ring segment enters the hex's AABB (padded 1e-9°) and all six hex
+      vertices are inside → **interior** (``full = true``): candidates whose
+      reference point lands here are emitted WITHOUT any exact geometry test
+      or geometry transfer;
+    * a ring segment enters the AABB → **boundary** (``full = false``):
+      candidates take the exact-test path;
+    * no segment enters and the vertices are outside → the cell overlaps the
+      AOI *bbox* but not the polygon — **dropped entirely**, so a diagonal or
+      concave AOI never manufactures candidates from the empty corners of its
+      bbox.
+
+    The trichotomy is sound because a segment wholly inside the AABB still
+    "hits" it: if no segment hits, polygon membership is constant across the
+    AABB and the six vertices all agree. Classification is conservative —
+    fp wobble demotes interior to boundary (one wasted exact test), never
+    promotes.
+
+    ``with_geom=False`` omits the WKB column altogether (broadcast geometry
+    transport); otherwise boundary cells carry it, so a continent-sized AOI
+    ships its geometry O(perimeter) times, not O(area).
+    """
+    size = float(hexgrid.cell_size(res))
+    sqrt3 = float(np.sqrt(3.0))
+    vert_ang = np.deg2rad(30.0 + 60.0 * np.arange(6))
+    vcos, vsin = np.cos(vert_ang) * size, np.sin(vert_ang) * size
+    aoi_type = dict(aois.dtypes)["aoi_id"]
+    out_schema = (
+        f"aoi_id {aoi_type}, cell_id long, full boolean, "
+        + ("geom_wkb binary, " if with_geom else "")
+        + "aoi_minx double, aoi_miny double, aoi_maxx double, aoi_maxy double"
+    )
+    cols = ["aoi_id", "geom_wkb", "bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy"]
+    CHUNK = 1 << 15  # bound the M×N classify broadcasts for continent AOIs
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                q, r = cover_cell_qr(
+                    row.bbox_minx, row.bbox_miny, row.bbox_maxx, row.bbox_maxy, res
+                )
+                if q.size == 0:
+                    continue
+                rings = wkb.polygon_rings(bytes(row.geom_wkb))
+                clng = size * sqrt3 * (q.astype(np.float64) + r.astype(np.float64) / 2.0)
+                clat = size * 1.5 * r.astype(np.float64)
+                full = np.zeros(q.size, dtype=bool)
+                hit_any = np.zeros(q.size, dtype=bool)
+                for s in range(0, q.size, CHUNK):
+                    e = min(s + CHUNK, q.size)
+                    vx = (clng[s:e, None] + vcos[None, :]).ravel()
+                    vy = (clat[s:e, None] + vsin[None, :]).ravel()
+                    inside = (
+                        G.points_in_polygon(vx, vy, rings).reshape(-1, 6).all(axis=1)
+                    )
+                    # hex AABB padded by 1e-9°: a boundary passing within fp
+                    # wobble of the hex must demote it to the exact-test path
+                    aabb = np.column_stack(
+                        [
+                            clng[s:e] - sqrt3 / 2.0 * size - 1e-9,
+                            clat[s:e] - size - 1e-9,
+                            clng[s:e] + sqrt3 / 2.0 * size + 1e-9,
+                            clat[s:e] + size + 1e-9,
+                        ]
+                    )
+                    hit = np.zeros(e - s, dtype=bool)
+                    for ring in rings:
+                        hit |= G.segments_hit_boxes(ring, aabb)
+                    full[s:e] = inside & ~hit
+                    hit_any[s:e] = hit
+                keep = full | hit_any
+                if not keep.any():
+                    continue
+                cell_id = hexgrid._pack(np.full(q.size, res, dtype=np.int64), q, r)
+                data = {
+                    "aoi_id": row.aoi_id,
+                    "cell_id": cell_id[keep],
+                    "full": full[keep],
+                }
+                if with_geom:
+                    data["geom_wkb"] = np.where(full[keep], None, row.geom_wkb)
+                data.update(
+                    aoi_minx=row.bbox_minx,
+                    aoi_miny=row.bbox_miny,
+                    aoi_maxx=row.bbox_maxx,
+                    aoi_maxy=row.bbox_maxy,
+                )
+                outs.append(pd.DataFrame(data))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return aois.select(*cols).mapInPandas(gen, out_schema)
+
+
+#: geometry broadcast cap for ``geom_transport="auto"`` — the collected
+#: (aoi_id → WKB) dict must stay well under executor memory; past this the
+#: WKB rides the AOI-cell relation instead (rows mode).
+GEOM_BROADCAST_MAX_BYTES = 128 << 20
+
+
 def partitioned_spatial_join(
     images_fp: DataFrame,
     aois: DataFrame,
     res: int = 5,
     n_salts: int = 8,
     id_col: str = "image_id",
+    geom_transport: str = "auto",
 ) -> DataFrame:
-    """Shuffle-based intersects join on covering-cell equality with salting.
+    """Shuffle-based intersects join, PBSM-style (partition-based spatial
+    merge): both sides explode to covering hex cells, meet in ONE salted
+    equi-join on ``cell_id``, and every later step is a stateless filter —
+    no cogroup, no distinct, no per-AOI grouping that could cap parallelism.
 
-    ``res`` picks the prune granularity: coarser → fewer cells per AOI but
-    more false candidates; finer → bigger AOI replication. res 5 (≈0.15°
-    cells) suits footprint-scale (≈0.05°) probes.
+    * **Reference-point dedup** (classic PBSM duplicate avoidance): a pair
+      that co-occurs in several covering cells is emitted only by the single
+      cell containing ``(max(minx_img, minx_aoi), max(miny_img, miny_aoi))``
+      — the bottom-left corner of the bbox intersection. Pure codegen
+      (``hex_cell(ref) = cell_id``), so dedup costs zero shuffles.
+    * **Interior-cell shortcut**: candidates whose reference cell is provably
+      inside the polygon (``aoi_cover_cells`` classification) are emitted
+      without any geometry test — the reference point itself witnesses the
+      intersection. Only boundary-cell candidates reach the vectorized
+      exact kernel, with the WKB riding the (small) AOI-cell relation, never
+      the candidate stream.
+    * **Skew**: image-side salt spreads a hot cell over ``n_salts`` hash
+      buckets (AOI cells replicated per salt); AQE skew-join splits anything
+      beyond that. The exact stage is order-agnostic, so parallelism is
+      bounded by shuffle partitions — not by AOI count × salt as the old
+      cogroup design was (measured flat 8→32 wall time; now removed).
+    * ``shuffle_hash`` hint on the cell relation: the build side is the AOI
+      cells; exploded mapInPandas output has no reliable size estimate, so
+      we pin the strategy instead of letting a mis-estimate pick a broadcast
+      of a relation that is large by contract ("both sides large").
+    * **Geometry transport** is size-adaptive (``geom_transport="auto"``):
+      when the total WKB payload fits ``GEOM_BROADCAST_MAX_BYTES``, an
+      (aoi_id → WKB) dict is broadcast once and the boundary candidate
+      stream stays slim (id + aoi_id + 4 doubles ≈ 50 B/row) — measured 2.7
+      GB/run of UnsafeRow/Arrow WKB copies removed at 8M probes. Past the
+      cap it degrades to WKB riding the boundary AOI-cell rows
+      (``"rows"``), which bounds geometry replication by O(boundary cells),
+      never O(candidates). The exploded *cell* relations still shuffle-join
+      in both modes — this is NOT a broadcast join of the AOI table.
+
+    ``res`` picks prune granularity: coarser → fewer cells per AOI but more
+    false candidates; finer → bigger AOI replication. Same pair set as
+    ``gpd.sjoin(..., predicate="intersects")`` — reference
+    ``postprocess_generic_helper_functions.py:368``.
     """
-    img_cells = explode_cover_cells(
+    if geom_transport == "auto":
+        stats = aois.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.length("geom_wkb")).alias("b")
+        ).first()
+        geom_transport = (
+            "broadcast"
+            if (stats["b"] or 0) + 64 * stats["n"] <= GEOM_BROADCAST_MAX_BYTES
+            else "rows"
+        )
+    broadcast_geoms = geom_transport == "broadcast"
+    salted = n_salts is not None and n_salts > 1
+    img_cells = explode_cover_cells_expr(
         images_fp.select(id_col, "minx", "miny", "maxx", "maxy"), res
-    ).withColumn("salt", S.salt(F.col(id_col), n_salts))
-
-    # cell relation stays SLIM — geometry blobs never ride the candidate
-    # stream (a ~250 B WKB replicated onto tens of millions of candidate
-    # rows dominates shuffle + Arrow traffic; measured 6 GB at 8M probes)
-    aoi_cells = explode_cover_cells(
-        aois.select("aoi_id", "bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy"),
-        res,
-        bbox_cols=("bbox_minx", "bbox_miny", "bbox_maxx", "bbox_maxy"),
-    ).withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
-
-    cand = img_cells.join(aoi_cells, ["cell_id", "salt"]).select(
-        id_col, "minx", "miny", "maxx", "maxy", "aoi_id", "salt"
     )
+    acells = aoi_cover_cells(aois, res, with_geom=not broadcast_geoms)
+    geom_bc = None
+    if broadcast_geoms:
+        geom_bc = images_fp.sparkSession.sparkContext.broadcast(
+            dict(aois.select("aoi_id", "geom_wkb").toLocalIterator())
+        )
+    keys = ["cell_id"]
+    if salted:
+        img_cells = img_cells.withColumn("salt", S.salt(F.col(id_col), n_salts))
+        acells = acells.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        )
+        keys.append("salt")
 
-    # geometry joins the candidates via cogroup on (aoi_id, salt): the WKB
-    # crosses Arrow once per GROUP, not once per row; the salt keeps a giant
-    # AOI's candidates spread over n_salts groups (skew mitigation). A pair
-    # that co-occurs in several covering cells has every copy in the SAME
-    # group (salt is a function of the id), so dedupe is a cheap per-group
-    # numpy unique — no extra exchange, no final distinct
-    geoms = aois.select("aoi_id", "geom_wkb").withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
-    )
-    pair_schema = ", ".join(f"{c} {t}" for c, t in _schema_types(cand, (id_col, "aoi_id")))
+    # The interior/boundary split happens on the (small) AOI-cell relation
+    # BEFORE the join: two hash joins against the SAME image-cell exchange
+    # (AQE ReusedExchange — the 8M+-row map side runs once), with disjoint
+    # build sides. Interior-cell candidates become pairs entirely inside
+    # whole-stage codegen; only boundary-cell candidates cross into the
+    # Arrow exact kernel. Rejected alternatives, both measured slower:
+    # a post-join filter union (re-runs the join + filters per branch,
+    # ~1.7× reduce CPU) and a single mapInArrow over all candidates (ships
+    # the interior majority through Python for nothing, ~2× reduce CPU,
+    # and AQE's skew-split does not apply to the Python stage).
+    acells_full = acells.filter(F.col("full"))
+    acells_bnd = acells.filter(~F.col("full"))
 
-    def exact(left, right):
-        # Arrow-native (applyInArrow): candidate batches reach numpy with
-        # zero-copy column access — no pandas object materialization on the
-        # 10M+-row candidate stream
+    def candidates(aoi_cells: DataFrame) -> DataFrame:
+        cand = img_cells.join(aoi_cells.hint("shuffle_hash"), keys)
+        # candidate prune + reference-point dedup — all codegen, inside the
+        # join stage: the 10M+-row candidate stream never hits an exchange
+        cand = cand.filter(
+            (F.col("minx") <= F.col("aoi_maxx"))
+            & (F.col("maxx") >= F.col("aoi_minx"))
+            & (F.col("miny") <= F.col("aoi_maxy"))
+            & (F.col("maxy") >= F.col("aoi_miny"))
+        )
+        # PBSM reference-point dedup, fully codegen and branchless: decode the
+        # candidate cell's centre from cell_id (bit ops), then half-open
+        # 3-slab point-in-hex ownership of the bbox-intersection's
+        # bottom-left corner. Half-open slabs ([-apo, apo) on the three hex
+        # edge-normal axes) tile the plane, so every reference point has
+        # EXACTLY ONE owner cell even on hex boundaries — stronger than
+        # axial rounding, and ~30 flat expression nodes vs the rounding
+        # `when`-tree that blew past JIT method limits and ran interpreted
+        # (measured 13.6s for 17.5M rows at 32 cores). The owner cell is
+        # unique across the full ∪ boundary cell sets, so the two joins
+        # emit disjoint pair sets — no cross-branch dedup needed.
+        sqrt3 = float(np.sqrt(3.0))
+        size = float(hexgrid.cell_size(res))
+        apo = F.lit(sqrt3 / 2.0 * size)
+        mask29 = F.lit((1 << 29) - 1)
+        off = F.lit(hexgrid._OFF)
+        cq = (F.shiftright(F.col("cell_id"), 29).bitwiseAND(mask29) - off).cast("double")
+        cr = (F.col("cell_id").bitwiseAND(mask29) - off).cast("double")
+        dx = F.greatest(F.col("minx"), F.col("aoi_minx")) - F.lit(size * sqrt3) * (cq + cr / 2.0)
+        dy = F.greatest(F.col("miny"), F.col("aoi_miny")) - F.lit(size * 1.5) * cr
+        a2 = dx * 0.5 + F.lit(sqrt3 / 2.0) * dy
+        a3 = F.lit(sqrt3 / 2.0) * dy - dx * 0.5
+        return cand.filter(
+            (dx >= -apo) & (dx < apo) & (a2 >= -apo) & (a2 < apo) & (a3 >= -apo) & (a3 < apo)
+        )
+
+    full_pairs = candidates(acells_full).select(id_col, "aoi_id")
+    sel_cols = [id_col, "aoi_id", "minx", "miny", "maxx", "maxy"]
+    if not broadcast_geoms:
+        sel_cols.insert(2, "geom_wkb")
+    sel = candidates(acells_bnd).select(*sel_cols)
+    pair_schema = ", ".join(f"{c} {t}" for c, t in _schema_types(sel, (id_col, "aoi_id")))
+
+    def exact(batches):
+        # mapInArrow, not mapInPandas: numeric columns reach numpy zero-copy
+        # and WKB never materializes as per-row Python objects — geometry is
+        # either a worker-cached broadcast-dict lookup (one parse per AOI per
+        # worker) or one .as_py() per distinct AOI per batch (rows mode).
         import pyarrow as pa
+        import pyarrow.compute as pc
 
-        id_type = left.schema.field(id_col).type
-        aoi_type = left.schema.field("aoi_id").type
-        if left.num_rows == 0 or right.num_rows == 0:
-            return pa.table(
-                {id_col: pa.array([], id_type), "aoi_id": pa.array([], aoi_type)}
+        ring_cache: dict = {}
+
+        def rings_for(key, geoms_col, row_idx):
+            rings = ring_cache.get(key)
+            if rings is None:
+                raw = geom_bc.value[key] if geoms_col is None else geoms_col[row_idx].as_py()
+                rings = ring_cache[key] = wkb.polygon_rings(bytes(raw))
+            return rings
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            col = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+            aoi = col["aoi_id"].to_numpy(zero_copy_only=False)
+            boxes = np.column_stack(
+                [col[c].to_numpy() for c in ("minx", "miny", "maxx", "maxy")]
             )
-        ids = left.column(id_col).to_numpy(zero_copy_only=False)
-        _, first = np.unique(ids, return_index=True)  # per-group pair dedupe
-        bb = np.column_stack(
-            [left.column(c).to_numpy()[first] for c in ("minx", "miny", "maxx", "maxy")]
-        )
-        rings = wkb.polygon_rings(bytes(right.column("geom_wkb")[0].as_py()))
-        keep = G.polygon_intersects_boxes(rings, bb)
-        sel = pa.array(first[keep])
-        return pa.table(
-            {id_col: left.column(id_col).take(sel), "aoi_id": left.column("aoi_id").take(sel)}
-        )
+            geoms = None if broadcast_geoms else col["geom_wkb"]
+            keep = np.zeros(rb.num_rows, dtype=bool)
+            order = np.argsort(aoi, kind="stable")
+            sa = aoi[order]
+            starts = np.flatnonzero(np.r_[True, sa[1:] != sa[:-1]])
+            bounds = np.r_[starts, sa.size]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                gi = order[s:e]
+                key = sa[s].item() if hasattr(sa[s], "item") else sa[s]
+                rings = rings_for(key, geoms, int(gi[0]))
+                keep[gi] = G.polygon_intersects_boxes(rings, boxes[gi])
+            idx = pa.array(np.flatnonzero(keep))
+            yield pa.record_batch(
+                [pc.take(col[id_col], idx), pc.take(col["aoi_id"], idx)],
+                names=[id_col, "aoi_id"],
+            )
 
-    return (
-        cand.groupBy("aoi_id", "salt")
-        .cogroup(geoms.groupBy("aoi_id", "salt"))
-        .applyInArrow(exact, pair_schema)
-    )
+    return full_pairs.unionAll(sel.mapInArrow(exact, pair_schema))
 
 
 def spatial_join_oracle(images_pdf: pd.DataFrame, aoi_pdf: pd.DataFrame) -> set[tuple[str, str]]:

@@ -63,11 +63,28 @@ def spark_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR") or _default_local_dir()
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
     _ship_package(spark)
     return spark
+
+
+def _default_local_dir() -> str | None:
+    """Prefer a tmpfs for shuffle/spill files. Disk-backed /tmp serializes
+    concurrent shuffle writers on page-cache writeback: measured 2x wall-time
+    inflation (and inverted 8-vs-32-core scaling) on the partitioned spatial
+    join's map stage. On a real cluster this corresponds to provisioning
+    local SSDs / ramdisk for spark.local.dir — standard practice."""
+    for base in ("/dev/shm",):
+        if os.path.isdir(base) and os.access(base, os.W_OK):
+            path = os.path.join(base, "spark-local")
+            os.makedirs(path, exist_ok=True)
+            return path
+    return None
 
 
 def _ship_package(spark: SparkSession) -> None:

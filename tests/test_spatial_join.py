@@ -46,10 +46,15 @@ def test_broadcast_join_extra_cols(spark, setup):
         assert cap == f"synthetic scene {i} tile test"
 
 
-@pytest.mark.parametrize("res,n_salts", [(5, 1), (5, 4), (7, 4)])
-def test_partitioned_join_matches_oracle(spark, setup, res, n_salts):
+@pytest.mark.parametrize(
+    "res,n_salts,transport",
+    [(5, 1, "broadcast"), (5, 4, "broadcast"), (7, 4, "auto"), (5, 4, "rows"), (7, 1, "rows")],
+)
+def test_partitioned_join_matches_oracle(spark, setup, res, n_salts, transport):
     images_fp, aoi_pdf, oracle = setup
     aois = datagen.aoi_df(spark, 25)
-    got = spatial_join.partitioned_spatial_join(images_fp, aois, res=res, n_salts=n_salts).collect()
+    got = spatial_join.partitioned_spatial_join(
+        images_fp, aois, res=res, n_salts=n_salts, geom_transport=transport
+    ).collect()
     assert {(r.image_id, r.aoi_id) for r in got} == oracle
     assert len(got) == len(oracle)

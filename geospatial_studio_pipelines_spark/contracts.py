@@ -843,6 +843,46 @@ ORDER BY id_a, id_b
 """
 
 
+def q_embedding_near_dups_lsh(spark, sf_dir):
+    """LSH-bucketed near-dup pairs — the 10^12-scale dedup path, oracle-gated:
+    hyperplane buckets (4 tables × 6 sign bits, ordered-sum dots) generate
+    candidates, exact cosine verifies. The oracle reproduces the BUCKETING
+    itself (same plane constants, same accumulation order), so the pair set
+    matches bit-for-bit; recall vs the brute scan is test-gated in pytest."""
+    e = load(spark, sf_dir, "embeddings")
+    out = similarity.lsh_near_dup_pairs(e, threshold=0.38)
+    return out.orderBy("id_a", "id_b")
+
+
+def _lsh_near_dups_sql(threshold: float = 0.38, n_planes: int = 4, n_tables: int = 8) -> str:
+    buckets = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{similarity.lsh_bucket_sql('embedding', t, n_planes=n_planes)} AS bucket FROM embeddings"
+        for t in range(n_tables)
+    )
+    cos = """round(
+    list_aggregate(list_transform(list_zip(x.embedding, y.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))),
+  6)"""
+    return f"""
+WITH buckets AS (
+  {buckets}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT id_a, id_b, {cos} AS cos_sim
+  FROM cand JOIN embeddings x ON cand.id_a = x.vec_id JOIN embeddings y ON cand.id_b = y.vec_id
+) WHERE cos_sim >= {threshold} ORDER BY id_a, id_b
+"""
+
+
+Q_EMBEDDING_NEAR_DUPS_LSH_SQL = _lsh_near_dups_sql()
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, Q_PRICING_SUMMARY_SQL),
     "top_revenue_orders": (q_top_revenue_orders, Q_TOP_REVENUE_ORDERS_SQL),
@@ -870,6 +910,7 @@ QUERIES = {
     "embedding_label_centroids": (q_embedding_label_centroid_sim, Q_EMBEDDING_LABEL_CENTROID_SIM_SQL),
     "grid_tiles": (q_grid_tiles, Q_GRID_TILES_SQL),
     "embedding_near_dups": (q_embedding_near_dups, Q_EMBEDDING_NEAR_DUPS_SQL),
+    "embedding_near_dups_lsh": (q_embedding_near_dups_lsh, Q_EMBEDDING_NEAR_DUPS_LSH_SQL),
 }
 
 

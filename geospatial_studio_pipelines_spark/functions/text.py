@@ -185,9 +185,16 @@ def shingle_hashes(text: Column) -> Column:
     bound as a lambda variable (single-element-array transform = let-binding),
     then every shingle does k O(1) ``element_at`` lookups. The naive form —
     ``substr`` per (shingle, j) — rescans the string per call: O(len²) per
-    document, which dominates the whole dedup pipeline on long documents."""
+    document, which dominates the whole dedup pipeline on long documents.
+
+    Texts shorter than k hash to an EMPTY array: without the guard,
+    ``sequence(1, 0)`` yields a *descending* [1, 0] (Spark auto-steps -1)
+    and strict ``element_at`` then faults the whole job with
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT — and DuckDB's
+    ``generate_series(1, 0)`` is empty, so the guard is also what keeps
+    the two engines bit-identical."""
     n = F.length(text)
-    idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE_K - 1), F.lit(0)))
+    idx = F.sequence(F.lit(1), n - (SHINGLE_K - 1))
     codes = F.transform(F.split(text, ""), lambda c: F.ascii(c))
     bound = F.transform(
         F.array(codes),
@@ -199,7 +206,9 @@ def shingle_hashes(text: Column) -> Column:
             ).cast("long"),
         ),
     )
-    return F.element_at(bound, 1)
+    return F.when(n >= SHINGLE_K, F.element_at(bound, 1)).otherwise(
+        F.array().cast("array<long>")
+    )
 
 
 def shingle_hashes_sql(col: str) -> str:

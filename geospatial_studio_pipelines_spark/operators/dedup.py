@@ -96,12 +96,20 @@ def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: s
     )
 
 
+#: broadcast cap for the per-doc shingle-set relation (estimated as
+#: 8 bytes × total corpus chars, an upper bound on Σ|distinct shingles|·8).
+#: Past it, the verify join degrades to a shuffled join of the same shape
+#: instead of OOMing the executors on an un-gated broadcast.
+SETS_BROADCAST_MAX_BYTES = 256 << 20
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     pairs: DataFrame | None = None,
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_sets: bool | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (LSH candidates by default):
     |A∩B| / |A∪B| on distinct shingle-hash sets, via array_intersect /
@@ -109,21 +117,27 @@ def ngram_jaccard_pairs(
     has identical set semantics)."""
     if pairs is None:
         pairs = minhash_candidate_pairs(docs, id_col, text_col)
+    if broadcast_sets is None:
+        # size-gate the broadcast: one column-pruned agg over the corpus vs
+        # an executor OOM when someone points this at 10^9 docs
+        est = 8 * (docs.agg(F.sum(F.length(text_col))).first()[0] or 0)
+        broadcast_sets = est <= SETS_BROADCAST_MAX_BYTES
     sets_df = docs.select(
         F.col(id_col),
         F.array_distinct(shingle_hashes(F.col(text_col))).alias("sh"),
     ).withColumn("n", F.size("sh"))
-    # broadcast the per-doc set relation: the candidate stream (millions of
-    # pairs) stays two ids wide instead of dragging two ~KB shingle arrays
-    # through every exchange. At corpus scales past broadcast size, drop the
-    # hint and Spark falls back to a shuffled join of the same shape.
+    # broadcast the per-doc set relation when it fits: the candidate stream
+    # (millions of pairs) stays two ids wide instead of dragging two ~KB
+    # shingle arrays through every exchange. Past SETS_BROADCAST_MAX_BYTES
+    # the hint is dropped and Spark shuffles the same join shape.
+    hint = F.broadcast if broadcast_sets else (lambda df: df)
     a_side = sets_df.select(
         F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
     )
     b_side = sets_df.select(
         F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")
     )
-    j = pairs.join(F.broadcast(a_side), "id_a").join(F.broadcast(b_side), "id_b")
+    j = pairs.join(hint(a_side), "id_a").join(hint(b_side), "id_b")
     # |A∪B| = |A| + |B| − |A∩B|: one set op per pair instead of two (the
     # union would BUILD a new array per candidate pair just to take its size)
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
@@ -175,15 +189,33 @@ def simhash_sql(col: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+#: above this row count the all-pairs scan is a cartesian bomb; route
+#: through LSH buckets instead (recall < 1, documented on the operator)
+BRUTE_PAIRS_MAX_ROWS = 20_000
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute pair scan; LSH-bucketed
-    variant in operators.similarity for the 10^12 path). Cosine computed in
-    double via aggregate(zip_with(...)) — JVM-side, no UDF."""
+    """Embedding-cosine near-duplicate pairs.
+
+    ``method="brute"`` — exact all-pairs scan (O(n²): the *verification
+    kernel*, correct at any threshold but only viable for modest n or
+    per-bucket work). ``method="lsh"`` — hyperplane-bucketed candidates +
+    exact cosine verify (``similarity.lsh_near_dup_pairs``), the 10^12-scale
+    path. ``method="auto"`` picks brute only under ``BRUTE_PAIRS_MAX_ROWS``
+    rows. Cosine always computed in double via aggregate(zip_with(...)) —
+    JVM-side, no UDF."""
+    if method == "auto":
+        method = "brute" if emb.count() <= BRUTE_PAIRS_MAX_ROWS else "lsh"
+    if method == "lsh":
+        from .similarity import lsh_near_dup_pairs
+
+        return lsh_near_dup_pairs(emb, threshold, id_col=id_col, vec_col=vec_col)
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))

@@ -73,8 +73,15 @@ def with_lsh_bucket(
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             out = []
             for t, pl in enumerate(planes):
-                bits = (mat @ pl) > 0
-                bucket = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+                # strict left-to-right accumulation over the vector index —
+                # NOT `mat @ pl` (BLAS blocks/reorders the summation): this
+                # keeps every dot product bit-identical to a SQL engine's
+                # sequential list-sum, so the bucket assignment itself is
+                # reproducible by the DuckDB oracle (lsh_bucket_sql).
+                dots = np.zeros((mat.shape[0], pl.shape[1]))
+                for j in range(mat.shape[1]):
+                    dots += mat[:, j : j + 1] * pl[j]
+                bucket = ((dots > 0) * (1 << np.arange(n_planes))).sum(axis=1)
                 out.append(
                     pd.DataFrame(
                         {
@@ -129,6 +136,54 @@ def lsh_topk(
     out = good.unionByName(fallback)
     buckets.unpersist()
     return out
+
+
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs through LSH buckets — the 10^12-scale
+    path: candidates are only pairs sharing a hyperplane bucket in ≥1 table
+    (expected bucket size n/2^n_planes → per-bucket local pair work), then
+    exact cosine ≥ threshold on candidates. Deterministic end-to-end (fixed
+    seed + ordered dot accumulation), so a SQL oracle can reproduce the
+    exact pair set — see ``lsh_bucket_sql``. Recall < 1 by construction —
+    the 4-planes × 8-tables default gives ≈1-(1-(1-θ/π)⁴)⁸ ≈ 0.99 recall at
+    the near-dup regime (cos ≥ 0.9, pytest-gated); raise ``n_tables`` (or
+    lower ``n_planes``) to trade compute for recall."""
+    buckets = with_lsh_bucket(emb, dim, n_planes, n_tables, vec_col)
+    a = buckets.select("table", "bucket", F.col(id_col).alias("id_a"), F.col("embedding").alias("va"))
+    b = buckets.select("table", "bucket", F.col(id_col).alias("id_b"), F.col("embedding").alias("vb"))
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.round(cosine_expr("va", "vb"), 6)
+    return cand.select("id_a", "id_b", sim.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
+    )
+
+
+def lsh_bucket_sql(vec_expr: str, table: int, dim: int = 64, n_planes: int = 6, seed: int = 42) -> str:
+    """DuckDB expression reproducing ``with_lsh_bucket``'s bucket id for one
+    table: Σ_p 2^p · [dot(vec, plane_p) > 0], dots accumulated left-to-right
+    (bit-identical to the numpy kernel's ordered loop)."""
+    pl = hyperplanes(dim, n_planes, seed + table)
+    bits = []
+    for p in range(n_planes):
+        coeffs = ", ".join(repr(float(v)) for v in pl[:, p])
+        dot = (
+            f"list_aggregate(list_transform(list_zip({vec_expr}, [{coeffs}]), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
 
 
 def recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int) -> float:

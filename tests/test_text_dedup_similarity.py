@@ -153,3 +153,61 @@ def test_embedding_near_dups_threshold(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = dedup.embedding_near_dups(df, threshold=0.95).collect()
     assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+
+
+def test_shingle_hashes_short_texts(spark, duck):
+    """Texts shorter than SHINGLE_K must hash to an empty array, not fault
+    the job (sequence(1,0) is DESCENDING in Spark; strict element_at threw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT before the guard)."""
+    rows = [(0, ""), (1, "ab"), (2, "abc"), (3, "abcd"), (4, "abcde")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.sh for r in df.select("doc_id", T.shingle_hashes(F.col("text")).alias("sh")).collect()}
+    assert got[0] == [] and got[1] == [] and got[2] == []
+    assert len(got[3]) == 1 and len(got[4]) == 2
+    # DuckDB twin agrees on the empty-list semantics
+    for txt in ("", "ab", "abc"):
+        exp = duck.execute(f"SELECT {T.shingle_hashes_sql(repr(txt))}").fetchone()[0]
+        assert exp == []
+
+
+def test_ngram_jaccard_shuffled_join_matches_broadcast(docs):
+    """The size-gated broadcast fallback (shuffled join) returns the same
+    pair set as the broadcast path."""
+    sub = docs.filter(F.col("doc_id") < 120).select("doc_id", "text")
+    bc = dedup.ngram_jaccard_pairs(sub, threshold=0.3, broadcast_sets=True).collect()
+    sh = dedup.ngram_jaccard_pairs(sub, threshold=0.3, broadcast_sets=False).collect()
+    assert {(r.id_a, r.id_b, r.jaccard) for r in bc} == {(r.id_a, r.id_b, r.jaccard) for r in sh}
+    assert len(bc) > 0
+
+
+def test_lsh_near_dup_recall_on_clustered_vectors(spark):
+    """Recall gate in the regime LSH near-dup is FOR (cos >= 0.9): clustered
+    vectors (base + small noise) — 4 planes x 8 tables must recover >= 95%
+    of the brute-force pair set."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 64))
+    rows = []
+    vid = 0
+    for c in range(40):
+        for _ in range(5):  # 5 near-copies per cluster
+            v = base[c] + 0.08 * rng.standard_normal(64)
+            rows.append((vid, (v / np.linalg.norm(v)).astype("float32").tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = dedup.embedding_near_dups(df, threshold=0.9, method="brute")
+    approx = similarity.lsh_near_dup_pairs(df, threshold=0.9)
+    e = {(r.id_a, r.id_b) for r in exact.collect()}
+    a = {(r.id_a, r.id_b) for r in approx.collect()}
+    assert a <= e  # LSH candidates are exact-verified: no false positives
+    assert len(e) > 100
+    assert len(a) / len(e) >= 0.95, (len(a), len(e))
+
+
+def test_embedding_near_dups_lsh_matches_duckdb_buckets(emb, duck):
+    """The LSH bucketing itself is oracle-reproducible: ordered-sum dots in
+    the kernel == DuckDB's sequential list sum, bit for bit."""
+    from geospatial_studio_pipelines_spark import contracts
+
+    got = similarity.lsh_near_dup_pairs(emb, threshold=0.38).collect()
+    exp = duck.execute(contracts.Q_EMBEDDING_NEAR_DUPS_LSH_SQL.replace("ORDER BY id_a, id_b", "")).fetchall()
+    _compare([(r.id_a, r.id_b, r.cos_sim) for r in got], exp)

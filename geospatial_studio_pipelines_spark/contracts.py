@@ -46,7 +46,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (it only applies below the threshold)."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, par // 4):
+    # split count ≈ input file count here (single-row-group files, far below
+    # maxPartitionBytes); df.inputFiles() is driver-side metadata, unlike
+    # df.rdd.getNumPartitions() which builds the physical plan eagerly on
+    # every load across the 28-query registry
+    if len(df.inputFiles()) < max(2, par // 4):
         df = df.repartition(par)
     return df
 
@@ -843,6 +847,35 @@ ORDER BY id_a, id_b
 """
 
 
+def q_event_props_json(spark, sf_dir):
+    """F22 JSON column access (the reference's jsonb_array_elements/.get
+    chains, orchestrate_wrapper.py:176-186): extract ``props.$.k`` from the
+    JSON string column, filter on it, aggregate per event_type."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select(F.col("event_type"), k.alias("k"))
+        .filter(F.col("k") >= 10)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_EVENT_PROPS_JSON_SQL = """
+WITH ex AS (
+  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+)
+SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS k_sum, min(k) AS k_min, max(k) AS k_max
+FROM ex WHERE k >= 10 GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_embedding_near_dups_lsh(spark, sf_dir):
     """LSH-bucketed near-dup pairs — the 10^12-scale dedup path, oracle-gated:
     hyperplane buckets (4 tables × 6 sign bits, ordered-sum dots) generate
@@ -911,6 +944,7 @@ QUERIES = {
     "grid_tiles": (q_grid_tiles, Q_GRID_TILES_SQL),
     "embedding_near_dups": (q_embedding_near_dups, Q_EMBEDDING_NEAR_DUPS_SQL),
     "embedding_near_dups_lsh": (q_embedding_near_dups_lsh, Q_EMBEDDING_NEAR_DUPS_LSH_SQL),
+    "event_props_json": (q_event_props_json, Q_EVENT_PROPS_JSON_SQL),
 }
 
 
@@ -929,27 +963,64 @@ def q_image_tile_join(spark, sf_dir):
     images = datagen.images_df(spark, 500)
     fp = footprints.with_footprint(images)
     aois = datagen.aoi_pdf(50)
-    return (
+    agg = (
         spatial_join.broadcast_spatial_join(fp, aois)
         .groupBy("aoi_id")
-        .agg(F.count("*").alias("n_images"))
+        .agg(F.count("*").alias("n_images"), F.md5(F.concat_ws(",", F.sort_array(F.collect_list("image_id")))).alias("content_md5"))
         .orderBy("aoi_id")
     )
+    # content_md5 pins the exact pair set per AOI, so the driver's rows-only
+    # check on this no-SQL-oracle query still detects content drift
+    return agg
 
 
 def q_image_pipeline(spark, sf_dir):
-    """Pseudo-inference → SCL mask chain → vectorize → regularize on the
-    synthetic fixtures (the reference's per-task data path, SURVEY §3.3)."""
-    from . import datagen
-    from .operators import masking, raster, regularize, vectorize
+    """RGB projection → pseudo-inference → SCL mask chain → ocean mask →
+    vectorize → regularize on the synthetic fixtures (the reference's
+    per-task postprocess path, SURVEY §3.3 + helper_functions make_rgb
+    :301-329 / mask_ocean :286-298)."""
+    import numpy as np
 
-    images = datagen.images_df(spark, 60)
-    preds = raster.pseudo_inference(images).select("image_id", "w", "h", "pred_bytes")
+    from . import datagen
+    from .geo import wkb as W
+    from .operators import footprints, masking, raster, regularize, vectorize
+
+    images = footprints.with_footprint(datagen.images_df(spark, 60))
+    spec = [
+        {"name": "B04", "RGB_band": "R", "index": 0},
+        {"name": "B03", "RGB_band": "G", "index": 1},
+        {"name": "B02", "RGB_band": "B", "index": 2},
+    ]
+    rgb = raster.make_rgb(images, spec, in_col="bytes", out_col="rgb_bytes")
+    preds = raster.pseudo_inference(rgb, in_col="rgb_bytes").select(
+        "image_id", "w", "h", "minx", "miny", "maxx", "maxy", "pred_bytes"
+    )
     qa = datagen.qa_df(spark, 60)
     masked = masking.apply_mask_chain(preds, qa)
-    polys = vectorize.vectorize(masked.filter(F.col("masked_bytes").isNotNull()), min_area=4.0)
+    # synthetic land layer: everything west of lon 60 — the eastern images
+    # get their prediction oceaned to NODATA before vectorization
+    land_ring = np.array(
+        [[-180.0, -90.0], [60.0, -90.0], [60.0, 90.0], [-180.0, 90.0], [-180.0, -90.0]]
+    )
+    import pandas as pd
+
+    land = pd.DataFrame({"aoi_id": [0], "geom_wkb": [W.dumps_polygon([land_ring])]})
+    final = masking.mask_ocean(
+        masked.filter(F.col("masked_bytes").isNotNull()),
+        land,
+        in_col="masked_bytes",
+        out_col="final_bytes",
+    )
+    polys = vectorize.vectorize(final, in_col="final_bytes", min_area=4.0)
     reg = regularize.regularize(polys, "adaptive_regularization")
-    return reg.select("image_id", "shape_idx", "class", "area_px").orderBy("image_id", "shape_idx")
+    # content_md5 pins geometry bytes per row (rows-only driver check)
+    return reg.select(
+        "image_id",
+        "shape_idx",
+        "class",
+        "area_px",
+        F.md5(F.col("geom_wkb")).alias("content_md5"),
+    ).orderBy("image_id", "shape_idx")
 
 
 ROWS_ONLY_QUERIES = {

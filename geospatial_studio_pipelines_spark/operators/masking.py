@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..codecs.image import decode_image, encode_image
+from ..geo.wkb import dumps_polygon
+from ..geo.wkb import polygon_rings as wkb_rings
 
 CLOUD_VALUE = 999.0
 SNOW_OR_ICE_VALUE = 998.0
@@ -107,6 +109,141 @@ def apply_mask_chain(
             yield out
 
     return joined.mapInPandas(run, schema)
+
+
+NODATA = -9999.0  # raster_data_operations.py:30
+
+
+def _world_rings_to_pixel(rings, minx, miny, maxx, maxy, w, h):
+    """Affine world→pixel for a y-down grid over (minx..maxy)."""
+    out = []
+    for r in rings:
+        px = (r[:, 0] - minx) / (maxx - minx) * w
+        py = (maxy - r[:, 1]) / (maxy - miny) * h
+        out.append(np.column_stack([px, py]))
+    return out
+
+
+def _vector_mask_op(
+    images: DataFrame,
+    layer_pdf: pd.DataFrame,
+    in_col: str,
+    out_col: str,
+    fn,
+    bounds_cols: tuple[str, str, str, str],
+):
+    """Shared scaffolding for F13/F14: broadcast the packed vector layer
+    (R-tree + decoded rings, same pack as the broadcast spatial join), then
+    one mapInPandas pass — per image: R-tree bbox query → ``fn(arr, rings
+    in pixel space)``. The layer crosses the wire once per executor; pixels
+    never leave the Arrow batch."""
+    import pickle
+
+    from .spatial_join import pack_aois
+
+    layer_pdf = layer_pdf.copy()
+    if "aoi_id" not in layer_pdf.columns:
+        layer_pdf["aoi_id"] = np.arange(len(layer_pdf))
+    packed = pack_aois(layer_pdf)
+    bc = images.sparkSession.sparkContext.broadcast(packed)
+    bminx, bminy, bmaxx, bmaxy = bounds_cols
+    cols = list(images.columns)
+    schema = ", ".join(f"{c} {t}" for c, t in images.dtypes) + f", {out_col} binary"
+
+    def run(batches):
+        layer = pickle.loads(bc.value)
+        tree, rings_all = layer["tree"], layer["rings"]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            blobs = []
+            for _, row in pdf.iterrows():
+                arr = decode_image(bytes(row[in_col]))
+                h, w = arr.shape[0], arr.shape[1]
+                box = np.array([[row[bminx], row[bminy], row[bmaxx], row[bmaxy]]])
+                _, ti = tree.query_many(box)
+                pix_polys = [
+                    _world_rings_to_pixel(rings_all[t], row[bminx], row[bminy], row[bmaxx], row[bmaxy], w, h)
+                    for t in ti
+                ]
+                blobs.append(encode_image(fn(arr, pix_polys, w, h), "raw"))
+            out = pdf[cols].copy()
+            out[out_col] = blobs
+            yield out
+
+    return images.mapInPandas(run, schema)
+
+
+def mask_ocean(
+    images: DataFrame,
+    land_pdf: pd.DataFrame,
+    in_col: str = "bytes",
+    out_col: str = "land_bytes",
+    bounds_cols: tuple[str, str, str, str] = ("minx", "miny", "maxx", "maxy"),
+) -> DataFrame:
+    """F13 ``mask_ocean`` (postprocess_generic_helper_functions.py:286-298):
+    clip each raster to the land-polygon layer — pixels whose center falls
+    outside every land polygon become NODATA (rio.clip semantics). The land
+    layer is the reference's constant ``LAND_POLYGON_PATH`` file re-read per
+    task; here it is packed once and broadcast."""
+    from .vectorize import rasterize_polygons
+
+    def fn(arr, pix_polys, w, h):
+        land = np.zeros((h, w), dtype=bool)
+        for rings in pix_polys:
+            land |= rasterize_polygons([(rings, 1.0)], (h, w), all_touched=False) > 0
+        out = arr.astype(np.float32).copy()
+        out[~land] = NODATA
+        return out
+
+    return _vector_mask_op(images, land_pdf, in_col, out_col, fn, bounds_cols)
+
+
+def mask_from_layer(
+    images: DataFrame,
+    layer_pdf: pd.DataFrame,
+    buffer_size_m: float = 100.0,
+    burn_value: float = 90.0,
+    in_col: str = "bytes",
+    out_col: str = "masked_url_bytes",
+    bounds_cols: tuple[str, str, str, str] = ("minx", "miny", "maxx", "maxy"),
+) -> DataFrame:
+    """F14 ``mask_from_url`` (postprocess_generic_helper_functions.py:267-283):
+    clip the vector layer to the raster bbox, buffer each polygon by
+    ``buffer_size_m`` *meters in EPSG:3857* (reference: to_crs(3857) →
+    buffer → back), rasterize with ``burn_value`` onto the raster grid
+    (overwriting pixels, rasterize-with-out= semantics). The layer arrives
+    as a DataFrame of WKB polygons instead of a URL — ingest is the S3 scan
+    path, not this operator."""
+    from ..geo import crs as C
+    from ..geo.geometry import buffer_ring
+    from .vectorize import rasterize_polygons
+
+    # buffer once, driver-side, in web-mercator meters — the layer is
+    # job-level; per-image work stays a rasterize
+    buffered = layer_pdf.copy()
+    new_wkb = []
+    for raw in buffered["geom_wkb"]:
+        rings = wkb_rings(bytes(raw))
+        out_rings = []
+        for r in rings:
+            mx, my = C.lonlat_to_webmerc(r[:, 0], r[:, 1])
+            br = buffer_ring(np.column_stack([mx, my]), buffer_size_m)
+            lon, lat = C.webmerc_to_lonlat(br[:, 0], br[:, 1])
+            out_rings.append(np.column_stack([lon, lat]))
+        new_wkb.append(dumps_polygon(out_rings))
+    buffered["geom_wkb"] = new_wkb  # pack_aois re-derives envelopes from rings
+
+    def fn(arr, pix_polys, w, h):
+        out = arr.astype(np.float32).copy()
+        if pix_polys:
+            burn = rasterize_polygons(
+                [(rings, burn_value) for rings in pix_polys], (h, w), all_touched=False
+            )
+            out[burn > 0] = burn_value
+        return out
+
+    return _vector_mask_op(images, buffered, in_col, out_col, fn, bounds_cols)
 
 
 def mask_chain_oracle(pred: np.ndarray, qa: np.ndarray, scheme: str = "s2") -> np.ndarray:

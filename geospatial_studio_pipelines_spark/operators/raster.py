@@ -16,6 +16,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql.functions import col as F_col
 
 from ..codecs.image import decode_image, encode_image
 
@@ -168,6 +169,158 @@ def match_to_target(df: DataFrame, in_col: str, target_w: str = "w", target_h: s
         return resize_array(arr, int(row[target_h]), int(row[target_w]), method)
 
     return _map_images(df, fn, in_col, in_col.replace("bytes", "") + "aligned_bytes")
+
+
+def reproject(
+    df: DataFrame,
+    in_col: str,
+    dst_crs: str = "EPSG:4326",
+    src_crs_col: str = "crs",
+    bounds_cols: tuple[str, str, str, str] = ("minx", "miny", "maxx", "maxy"),
+    out_w_col: str = "w",
+    out_h_col: str = "h",
+    method: str = "nearest",
+    out_col: str | None = None,
+) -> DataFrame:
+    """F7 CRS reprojection — the ``check_projection``/``gdalwarp -t_srs``
+    analog (``raster_data_operations.py:363-431``, ``check_projection``
+    ``:16-31``): rows whose ``src_crs_col`` differs from ``dst_crs`` are
+    inverse-mapping warped to a ``(w, h)`` grid over their bbox transformed
+    into ``dst_crs``; rows already in ``dst_crs`` pass through the same
+    resample (gdalwarp does too when a size is forced). Emits the new bounds
+    in ``dst_crs`` as ``minx..maxy`` plus ``crs`` = ``dst_crs``."""
+    from ..geo import crs as C
+
+    out_col = out_col or in_col.replace("bytes", "") + "warped_bytes"
+    bminx, bminy, bmaxx, bmaxy = bounds_cols
+    cols = [c for c in df.columns]
+    schema = ", ".join(f"{c} {t}" for c, t in df.dtypes if c in cols)
+    schema += f", {out_col} binary, dst_minx double, dst_miny double, dst_maxx double, dst_maxy double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            blobs, bs = [], []
+            for _, row in pdf.iterrows():
+                arr = decode_image(bytes(row[in_col]))
+                src_bounds = (row[bminx], row[bminy], row[bmaxx], row[bmaxy])
+                xs, ys = C.transform_points(
+                    str(row[src_crs_col]),
+                    dst_crs,
+                    np.array([src_bounds[0], src_bounds[2]]),
+                    np.array([src_bounds[1], src_bounds[3]]),
+                )
+                dst_bounds = (float(xs[0]), float(ys[0]), float(xs[1]), float(ys[1]))
+                warped = C.warp_array(
+                    arr, src_bounds, str(row[src_crs_col]), dst_bounds, dst_crs,
+                    int(row[out_h_col]), int(row[out_w_col]), method,
+                )
+                blobs.append(encode_image(warped, "raw"))
+                bs.append(dst_bounds)
+            out = pdf[cols].copy()
+            out[out_col] = blobs
+            arr_b = np.array(bs, dtype=np.float64).reshape(-1, 4)
+            out["dst_minx"], out["dst_miny"] = arr_b[:, 0], arr_b[:, 1]
+            out["dst_maxx"], out["dst_maxy"] = arr_b[:, 2], arr_b[:, 3]
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+# ------------------------------------------- P2: RGB projection (make_rgb)
+
+
+def find_band_index(bands_spec: list[dict], search_key: str, search_value: str) -> int | None:
+    """``search_band_dict`` twin (postprocess_generic_helper_functions.py:401-404):
+    first band dict whose ``search_key`` equals ``search_value``; None if absent."""
+    for band in bands_spec:
+        if band.get(search_key) == search_value:
+            idx = band.get("index")
+            return None if idx is None else int(idx)
+    return None
+
+
+def make_rgb(
+    df: DataFrame,
+    bands_spec: list[dict],
+    in_col: str = "bytes",
+    out_col: str = "rgb_bytes",
+) -> DataFrame:
+    """P2 RGB projection (``make_rgb``,
+    postprocess_generic_helper_functions.py:301-329): look up the R/G/B band
+    indexes in the model-input band spec and slice those three planes, in
+    R,G,B order. The spec is job-level, so the lookup happens ONCE on the
+    driver; the per-image work is a pure plane slice. Raises like the
+    reference when the spec has no RGB bands."""
+    idxs = [find_band_index(bands_spec, "RGB_band", ch) for ch in ("R", "G", "B")]
+    if any(i is None for i in idxs):
+        raise ValueError(f"band spec has no RGB bands: {bands_spec!r}")
+
+    def fn(arr, _row):
+        if max(idxs) >= arr.shape[2]:
+            raise ValueError(f"image has {arr.shape[2]} bands; RGB spec wants {idxs}")
+        return arr[:, :, idxs].astype(np.float32)
+
+    return _map_images(df, fn, in_col, out_col)
+
+
+# ----------------------------------------------- F10: band stacking
+
+
+def stack_bands(
+    df: DataFrame,
+    in_col: str = "bytes",
+    band_col: str = "band_idx",
+    id_col: str = "image_id",
+    out_col: str = "stacked_bytes",
+) -> DataFrame:
+    """F10 ``stack_rasters`` (raster_data_operations.py:143-168): N
+    single-band rasters of one image → one N-band raster, band order =
+    ascending ``band_col`` (the reference's list order). Spark shape: a
+    grouped ``applyInPandas`` per image — each group is one image's bands,
+    so group size is bounded by band count, never by image count."""
+
+    def stack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(band_col)
+        planes = [decode_image(bytes(b))[:, :, 0] for b in pdf[in_col]]
+        arr = np.stack(planes, axis=2).astype(np.float32)
+        return pd.DataFrame(
+            {id_col: [pdf[id_col].iloc[0]], "n_bands": [len(planes)], out_col: [encode_image(arr, "raw")]}
+        )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.groupBy(id_col).applyInPandas(
+        stack, f"{id_col} {id_type}, n_bands int, {out_col} binary"
+    )
+
+
+# ------------------------------------------- P6: all-zero data-cube guard
+
+
+def with_all_zero_flag(df: DataFrame, in_col: str = "bytes", flag_col: str = "all_zero") -> DataFrame:
+    """P6 empty-cube guard (terrakit_data_fetch.py:141-142: raises
+    ``GfmDataProcessingException`` when ``(da.values == 0).all()``). Spark
+    shape: a boolean column + downstream filter instead of a per-task
+    exception — a poisoned row must not kill the other 10^12."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = pdf.copy()
+            out[flag_col] = [
+                bool((decode_image(bytes(b)) == 0).all()) for b in pdf[in_col]
+            ]
+            yield out
+
+    schema = ", ".join(f"{c} {t}" for c, t in df.dtypes) + f", {flag_col} boolean"
+    return df.mapInPandas(run, schema)
+
+
+def drop_all_zero(df: DataFrame, in_col: str = "bytes") -> DataFrame:
+    flagged = with_all_zero_flag(df, in_col)
+    return flagged.filter(~F_col("all_zero")).drop("all_zero")
 
 
 # ------------------------------------------------ deterministic inference

@@ -158,3 +158,162 @@ def test_decode_stats_matches_numpy(spark):
         v = np.concatenate(allpix[b]).astype(np.float64)
         assert np.isclose(mean[b], v.mean())
         assert np.isclose(var[b], v.var(), rtol=1e-9)
+
+
+# --------------------------- round-2 ops: reproject / rgb / stack / guards
+
+
+def test_webmerc_roundtrip():
+    from geospatial_studio_pipelines_spark.geo import crs as C
+
+    lon = np.linspace(-179, 179, 50)
+    lat = np.linspace(-80, 80, 50)
+    x, y = C.lonlat_to_webmerc(lon, lat)
+    lon2, lat2 = C.webmerc_to_lonlat(x, y)
+    assert np.allclose(lon, lon2, atol=1e-9) and np.allclose(lat, lat2, atol=1e-9)
+    # known anchor: lon 180 -> pi*R
+    x180, _ = C.lonlat_to_webmerc(180.0, 0.0)
+    assert abs(float(x180) - np.pi * C.R_MERC) < 1e-6
+
+
+def test_warp_array_linear_oracle():
+    """Bilinear warp of a linear field f(lon,lat)=3lon+5lat from 4326 to a
+    3857 grid must reproduce f at every destination center (bilinear is
+    exact on linear functions); nearest must agree with direct index math."""
+    from geospatial_studio_pipelines_spark.geo import crs as C
+
+    h = w = 40
+    minx, miny, maxx, maxy = 10.0, 40.0, 12.0, 41.5
+    lon_c = minx + (np.arange(w) + 0.5) * (maxx - minx) / w
+    lat_c = maxy - (np.arange(h) + 0.5) * (maxy - miny) / h
+    field = (3.0 * lon_c[None, :] + 5.0 * lat_c[:, None]).astype(np.float32)[..., None]
+    dx0, dy0 = C.lonlat_to_webmerc(minx, miny)
+    dx1, dy1 = C.lonlat_to_webmerc(maxx, maxy)
+    dst_bounds = (float(dx0), float(dy0), float(dx1), float(dy1))
+    out = C.warp_array(field, (minx, miny, maxx, maxy), "EPSG:4326", dst_bounds, "EPSG:3857", 50, 50, "bilinear")
+    # direct oracle at destination centers (interior only: edge pixels clamp)
+    mx = dst_bounds[0] + (np.arange(50) + 0.5) * (dst_bounds[2] - dst_bounds[0]) / 50
+    my = dst_bounds[3] - (np.arange(50) + 0.5) * (dst_bounds[3] - dst_bounds[1]) / 50
+    glon, glat = C.webmerc_to_lonlat(*np.meshgrid(mx, my))
+    expect = 3.0 * glon + 5.0 * glat
+    inner = out[5:-5, 5:-5, 0]
+    assert np.allclose(inner, expect[5:-5, 5:-5], rtol=1e-5)
+
+
+def test_reproject_stage(spark):
+    from geospatial_studio_pipelines_spark.geo import crs as C
+
+    arr = datagen.fixture_pixels(3, 16, 20).astype(np.float32)  # (h=20, w=16, 3)
+    pdf = pd.DataFrame(
+        {
+            "image_id": ["a"],
+            "bytes": [encode_image(arr, "raw")],
+            "crs": ["EPSG:4326"],
+            "minx": [10.0], "miny": [40.0], "maxx": [12.0], "maxy": [41.0],
+            "w": [16], "h": [20],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = raster.reproject(df, "bytes", dst_crs="EPSG:3857").collect()[0]
+    warped = decode_image(bytes(out["warped_bytes"]))
+    assert warped.shape == (20, 16, 3)
+    ex0, ey0 = C.lonlat_to_webmerc(10.0, 40.0)
+    assert abs(out["dst_minx"] - float(ex0)) < 1e-6 and abs(out["dst_miny"] - float(ey0)) < 1e-6
+    # same-CRS reproject = plain resample passthrough
+    same = raster.reproject(df, "bytes", dst_crs="EPSG:4326").collect()[0]
+    assert np.array_equal(decode_image(bytes(same["warped_bytes"])), arr)
+
+
+def test_make_rgb(spark):
+    arr = datagen.fixture_pixels(5, 10, 8).astype(np.float32)  # 3 bands
+    arr4 = np.concatenate([arr, arr[:, :, :1] * 0.5], axis=2)  # 4 bands
+    pdf = pd.DataFrame({"image_id": ["a"], "bytes": [encode_image(arr4, "raw")]})
+    spec = [
+        {"name": "nir", "index": 3},
+        {"name": "red", "RGB_band": "R", "index": 2},
+        {"name": "green", "RGB_band": "G", "index": 1},
+        {"name": "blue", "RGB_band": "B", "index": 0},
+    ]
+    out = raster.make_rgb(spark.createDataFrame(pdf), spec).collect()[0]
+    rgb = decode_image(bytes(out["rgb_bytes"]))
+    assert np.array_equal(rgb, arr4[:, :, [2, 1, 0]])
+    with pytest.raises(ValueError):
+        raster.make_rgb(spark.createDataFrame(pdf), [{"name": "nir", "index": 0}])
+
+
+def test_stack_bands(spark):
+    planes = [datagen.fixture_pixels(i, 5, 6)[:, :, :1].astype(np.float32) for i in range(3)]
+    rows = [
+        {"image_id": "img", "band_idx": i, "bytes": encode_image(p, "raw")}
+        for i, p in enumerate(planes)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = raster.stack_bands(df).collect()[0]
+    stacked = decode_image(bytes(out["stacked_bytes"]))
+    assert out["n_bands"] == 3 and stacked.shape == (6, 5, 3)
+    for i, p in enumerate(planes):
+        assert np.array_equal(stacked[:, :, i], p[:, :, 0])
+
+
+def test_all_zero_guard(spark):
+    good = datagen.fixture_pixels(1, 6, 6).astype(np.float32)
+    zero = np.zeros((6, 6, 1), dtype=np.float32)
+    pdf = pd.DataFrame(
+        {
+            "image_id": ["good", "zero"],
+            "bytes": [encode_image(good, "raw"), encode_image(zero, "raw")],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    kept = raster.drop_all_zero(df).collect()
+    assert [r.image_id for r in kept] == ["good"]
+    flags = {r.image_id: r.all_zero for r in raster.with_all_zero_flag(df).collect()}
+    assert flags == {"good": False, "zero": True}
+
+
+def test_mask_ocean(spark):
+    """Pixels outside the land polygon -> NODATA; inside untouched."""
+    from geospatial_studio_pipelines_spark.geo import wkb as W
+
+    arr = np.full((10, 10, 1), 7.0, dtype=np.float32)
+    pdf = pd.DataFrame(
+        {
+            "image_id": ["a"],
+            "bytes": [encode_image(arr, "raw")],
+            "minx": [0.0], "miny": [0.0], "maxx": [1.0], "maxy": [1.0],
+        }
+    )
+    # land = left half of the image bbox
+    ring = np.array([[-1.0, -1.0], [0.5, -1.0], [0.5, 2.0], [-1.0, 2.0], [-1.0, -1.0]])
+    land = pd.DataFrame({"aoi_id": [0], "geom_wkb": [W.dumps_polygon([ring])]})
+    out = masking.mask_ocean(spark.createDataFrame(pdf), land).collect()[0]
+    m = decode_image(bytes(out["land_bytes"]))[:, :, 0]
+    assert (m[:, :5] == 7.0).all()  # land columns (x < 0.5)
+    assert (m[:, 5:] == masking.NODATA).all()  # ocean columns
+
+
+def test_mask_from_layer_buffer_and_burn(spark):
+    """A point-like polygon buffered by 100 m must burn a disc of 90s whose
+    pixel radius matches 100 m at the bbox's mercator scale."""
+    from geospatial_studio_pipelines_spark.geo import crs as C
+    from geospatial_studio_pipelines_spark.geo import wkb as W
+
+    h = w = 40
+    # bbox ~444 m wide at equator (0.004 deg): 100 m buffer ~ 9 px radius
+    pdf = pd.DataFrame(
+        {
+            "image_id": ["a"],
+            "bytes": [encode_image(np.zeros((h, w, 1), np.float32), "raw")],
+            "minx": [0.0], "miny": [0.0], "maxx": [0.004], "maxy": [0.004],
+        }
+    )
+    eps = 1e-6
+    ring = np.array([[0.002, 0.002], [0.002 + eps, 0.002], [0.002 + eps, 0.002 + eps], [0.002, 0.002 + eps], [0.002, 0.002]])
+    layer = pd.DataFrame({"aoi_id": [0], "geom_wkb": [W.dumps_polygon([ring])]})
+    out = masking.mask_from_layer(spark.createDataFrame(pdf), layer, buffer_size_m=100.0).collect()[0]
+    m = decode_image(bytes(out["masked_url_bytes"]))[:, :, 0]
+    assert m[20, 20] == 90.0  # center burned
+    assert m[0, 0] == 0.0 and m[-1, -1] == 0.0  # corners (dist ~314 m) not
+    burned_frac = (m == 90.0).mean()
+    expect = np.pi * 9.0**2 / (h * w)  # ~0.159
+    assert abs(burned_frac - expect) < 0.06

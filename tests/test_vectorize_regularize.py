@@ -128,3 +128,58 @@ def test_regularize_spark_stage(spark):
         rings = wkb.polygon_rings(bytes(row["reg_wkb"]))
         # axis-aligned rectangles regularize to 4-vertex polygons (T4 contract)
         assert len(rings[0]) == 5
+
+
+def test_connected_components_spiral_worst_case():
+    """Perf regression guard: a snaking spiral (max component diameter) on a
+    1200x1200 plane must label in seconds, not O(area x diameter) passes —
+    the pre-union-find propagation took minutes here."""
+    import time
+
+    h = w = 1200
+    m = np.zeros((h, w), bool)
+    x0, x1, y0, y1 = 0, w - 1, 0, h - 1
+    while x0 < x1 and y0 < y1:
+        m[y0, x0 : x1 + 1] = True
+        m[y0 : y1 + 1, x1] = True
+        x0 += 4
+        x1 -= 4
+        y0 += 4
+        y1 -= 4
+    t0 = time.time()
+    labels = vectorize.connected_components(m)
+    assert time.time() - t0 < 10.0
+    # one long snake per two spiral arms joined at corners: partition sanity
+    assert labels[m].min() > 0 and (labels[~m] == 0).all()
+
+
+def test_connected_components_matches_bfs():
+    from collections import deque
+
+    rng = np.random.default_rng(3)
+    mm = rng.random((60, 70)) < 0.45
+    labels = vectorize.connected_components(mm)
+    seen = np.zeros_like(mm, dtype=int)
+    c = 0
+    for i in range(mm.shape[0]):
+        for j in range(mm.shape[1]):
+            if mm[i, j] and not seen[i, j]:
+                c += 1
+                q = deque([(i, j)])
+                seen[i, j] = c
+                while q:
+                    a, b = q.popleft()
+                    for da, db in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        na, nb = a + da, b + db
+                        if (
+                            0 <= na < mm.shape[0]
+                            and 0 <= nb < mm.shape[1]
+                            and mm[na, nb]
+                            and not seen[na, nb]
+                        ):
+                            seen[na, nb] = c
+                            q.append((na, nb))
+    remap = {}
+    for lab, ref in zip(labels[mm], seen[mm]):
+        assert remap.setdefault(lab, ref) == ref  # same partition
+    assert len(remap) == c

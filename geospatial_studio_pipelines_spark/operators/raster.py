@@ -161,12 +161,44 @@ def crop_window(arr: np.ndarray, col_off: int, row_off: int, w: int, h: int) -> 
     return arr[r0 : min(H, row_off + h), c0 : min(W, col_off + w), :]
 
 
-def match_to_target(df: DataFrame, in_col: str, target_w: str = "w", target_h: str = "h", method: str = "nearest") -> DataFrame:
+def match_to_target(
+    df: DataFrame,
+    in_col: str,
+    target_w: str = "w",
+    target_h: str = "h",
+    method: str = "nearest",
+    src_crs_col: str | None = None,
+    dst_crs: str | None = None,
+    bounds_cols: tuple[str, str, str, str] = ("minx", "miny", "maxx", "maxy"),
+) -> DataFrame:
     """J5 grid-alignment: resample each raster to the row's (w, h) grid
-    (match_raster_to_target, raster_data_operations.py:434-462)."""
+    (match_raster_to_target, raster_data_operations.py:434-462). When
+    ``src_crs_col``/``dst_crs`` are given the alignment goes through the F7
+    inverse-mapping warp — gdalwarp's ``-t_srs`` + ``-ts`` in one pass —
+    so mixed-CRS inputs land on one common grid like the reference's
+    ``check_projection`` + match chain."""
+    if src_crs_col is not None and dst_crs is not None:
+        from ..geo import crs as C
 
-    def fn(arr, row):
-        return resize_array(arr, int(row[target_h]), int(row[target_w]), method)
+        bminx, bminy, bmaxx, bmaxy = bounds_cols
+
+        def fn(arr, row):
+            src_bounds = (row[bminx], row[bminy], row[bmaxx], row[bmaxy])
+            xs, ys = C.transform_points(
+                str(row[src_crs_col]), dst_crs,
+                np.array([src_bounds[0], src_bounds[2]]),
+                np.array([src_bounds[1], src_bounds[3]]),
+            )
+            return C.warp_array(
+                arr, src_bounds, str(row[src_crs_col]),
+                (float(xs[0]), float(ys[0]), float(xs[1]), float(ys[1])), dst_crs,
+                int(row[target_h]), int(row[target_w]), method,
+            )
+
+    else:
+
+        def fn(arr, row):
+            return resize_array(arr, int(row[target_h]), int(row[target_w]), method)
 
     return _map_images(df, fn, in_col, in_col.replace("bytes", "") + "aligned_bytes")
 

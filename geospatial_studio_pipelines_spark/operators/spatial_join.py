@@ -86,15 +86,24 @@ def broadcast_spatial_join(
         f", {c} {t}" for c, t in _schema_types(images_fp, extra_cols)
     )
 
-    def join_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def join_partition(batches):
+        # mapInArrow (not mapInPandas): the probe stream's numeric columns
+        # reach numpy zero-copy and the output is assembled with Arrow takes
+        # — no pandas Series/Block materialization per 10^7-row batch.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         aois = pickle.loads(bc.value)
         tree: STRtree = aois["tree"]
         rings = aois["rings"]
         ids = aois["ids"]
-        for pdf in batches:
-            if pdf.empty:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            qboxes = pdf[["minx", "miny", "maxx", "maxy"]].to_numpy(dtype=np.float64)
+            col = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+            qboxes = np.column_stack(
+                [col[c].to_numpy() for c in ("minx", "miny", "maxx", "maxy")]
+            )
             qi, ti = tree.query_many(qboxes)
             # exact test vectorized per AOI: one numpy pass over all candidate
             # boxes of each polygon instead of a Python call per pair
@@ -103,17 +112,13 @@ def broadcast_spatial_join(
                 sel = ti == t
                 keep[sel] = G.polygon_intersects_boxes(rings[t], qboxes[qi[sel]])
             qi, ti = qi[keep], ti[keep]
-            out = pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy()[qi],
-                    "aoi_id": ids[ti],
-                }
-            )
+            idx = pa.array(qi)
+            arrays = [pc.take(col[id_col], idx), pa.array(ids[ti])]
             for c in extra_cols:
-                out[c] = pdf[c].to_numpy()[qi]
-            yield out
+                arrays.append(pc.take(col[c], idx))
+            yield pa.record_batch(arrays, names=[id_col, "aoi_id", *extra_cols])
 
-    return images_fp.select(*cols).mapInPandas(join_partition, out_schema)
+    return images_fp.select(*cols).mapInArrow(join_partition, out_schema)
 
 
 def aoi_cover_cells(aois: DataFrame, res: int, with_geom: bool = True) -> DataFrame:
@@ -284,7 +289,11 @@ def partitioned_spatial_join(
     img_cells = explode_cover_cells_expr(
         images_fp.select(id_col, "minx", "miny", "maxx", "maxy"), res
     )
-    acells = aoi_cover_cells(aois, res, with_geom=not broadcast_geoms)
+    # materialize the (small) classified AOI-cell relation once: both join
+    # branches consume it, and without the checkpoint the classify UDF +
+    # its Python stage run once per branch. localCheckpoint also truncates
+    # the lineage so AQE sees real row counts for the build sides.
+    acells = aoi_cover_cells(aois, res, with_geom=not broadcast_geoms).localCheckpoint()
     geom_bc = None
     if broadcast_geoms:
         geom_bc = images_fp.sparkSession.sparkContext.broadcast(

@@ -317,3 +317,29 @@ def test_mask_from_layer_buffer_and_burn(spark):
     burned_frac = (m == 90.0).mean()
     expect = np.pi * 9.0**2 / (h * w)  # ~0.159
     assert abs(burned_frac - expect) < 0.06
+
+
+def test_match_to_target_crs_aware(spark):
+    from geospatial_studio_pipelines_spark.geo import crs as C
+
+    arr = datagen.fixture_pixels(9, 12, 10).astype(np.float32)  # (10, 12, 3)
+    mx0, my0 = C.lonlat_to_webmerc(10.0, 40.0)
+    mx1, my1 = C.lonlat_to_webmerc(12.0, 41.0)
+    pdf = pd.DataFrame(
+        {
+            "image_id": ["m"],
+            "bytes": [encode_image(arr, "raw")],
+            "crs": ["EPSG:3857"],
+            "minx": [float(mx0)], "miny": [float(my0)],
+            "maxx": [float(mx1)], "maxy": [float(my1)],
+            "w": [12], "h": [10],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = raster.match_to_target(df, "bytes", src_crs_col="crs", dst_crs="EPSG:4326").collect()[0]
+    warped = decode_image(bytes(out["aligned_bytes"]))
+    assert warped.shape == (10, 12, 3)
+    # oracle: direct warp_array call
+    exp = C.warp_array(arr, (mx0, my0, mx1, my1), "EPSG:3857",
+                       (10.0, 40.0, 12.0, 41.0), "EPSG:4326", 10, 12, "nearest")
+    assert np.array_equal(warped, exp)

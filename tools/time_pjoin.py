@@ -48,7 +48,7 @@ mat(spatial_join.broadcast_spatial_join(small, datagen.aoi_pdf(16)))
 fp = numeric_footprints(spark.read.parquet(meta_dir).filter(F.col("id") < n_part))
 aoi_num = datagen.aoi_df(spark, 500).withColumn(
     "aoi_id", F.substring("aoi_id", 5, 4).cast("long"))
-j = spatial_join.partitioned_spatial_join(fp, aoi_num, res=3, n_salts=8, id_col="id")
+j = spatial_join.partitioned_spatial_join(fp, aoi_num, res=int(os.environ.get("PJOIN_RES", "3")), n_salts=8, id_col="id")
 mat(j.limit(0))  # plan + codegen warm, no execution of the heavy stages
 
 runs = []

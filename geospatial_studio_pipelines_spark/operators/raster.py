@@ -327,6 +327,20 @@ def stack_bands(
     )
 
 
+def change_dtype(df: DataFrame, dtype: str, in_col: str = "bytes", out_col: str | None = None) -> DataFrame:
+    """F9 dtype cast (``change_raster_dtype``,
+    raster_data_operations.py:129-135): decode → astype → re-encode raw.
+    numpy cast semantics (truncation for float→int, wraparound for
+    narrowing ints) — the same semantics rasterio's astype write has."""
+    out_col = out_col or in_col.replace("bytes", "") + "cast_bytes"
+    np_dtype = np.dtype(dtype)
+
+    def fn(arr, _row):
+        return arr.astype(np_dtype)
+
+    return _map_images(df, fn, in_col, out_col)
+
+
 # ------------------------------------------- P6: all-zero data-cube guard
 
 

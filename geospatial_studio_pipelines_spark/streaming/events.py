@@ -63,6 +63,31 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str, query_name: str
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
 
 
+def tile_join_stream(
+    spark: SparkSession,
+    images_dir: str,
+    aoi_pdf,
+    schema: str = "image_id string, w int, h int, phash long",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Streaming twin of the flagship path: a file-source micro-batch stream
+    of image metadata → footprint expressions → broadcast R-tree intersects
+    join. The join is a stateless mapInArrow stage, so it runs unchanged on
+    a streaming DataFrame — the engine's ingest-time tile assignment
+    (reference: the poll-loop claiming new tasks, ``orchestrate_wrapper``):
+    new image files landing in ``images_dir`` stream straight into
+    (image_id, aoi_id) assignments with no batch re-scan of the corpus."""
+    from ..operators import footprints, spatial_join
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(images_dir)
+    )
+    fp = footprints.with_footprint(stream)
+    return spatial_join.broadcast_spatial_join(fp, aoi_pdf)
+
+
 def sessionize_with_state(
     events: DataFrame, gap_s: int = 3600, timeout_s: int = 7200
 ) -> DataFrame:

@@ -343,3 +343,14 @@ def test_match_to_target_crs_aware(spark):
     exp = C.warp_array(arr, (mx0, my0, mx1, my1), "EPSG:3857",
                        (10.0, 40.0, 12.0, 41.0), "EPSG:4326", 10, 12, "nearest")
     assert np.array_equal(warped, exp)
+
+
+def test_change_dtype(spark):
+    arr = np.array([[[300.7, -2.3, 128.0]]], dtype=np.float32)
+    df = spark.createDataFrame([("x", encode_image(arr, "raw"))], "image_id string, bytes binary")
+    out = raster.change_dtype(df, "uint8").collect()[0]
+    got = decode_image(bytes(out["cast_bytes"]))
+    assert got.dtype == np.uint8
+    assert np.array_equal(got, arr.astype(np.uint8))  # numpy cast semantics
+    out16 = raster.change_dtype(df, "int16", out_col="i16").collect()[0]
+    assert np.array_equal(decode_image(bytes(out16["i16"])), arr.astype(np.int16))

@@ -107,3 +107,33 @@ def test_extension_and_date_filters(spark):
     rows = {r.path: r.file_date for r in dated.collect()}
     assert str(rows["s3://b/scene_2024-03-01.tif"]) == "2024-03-01"
     assert rows["s3://b/no_date.tiff"] is None
+
+
+def test_streaming_tile_join_matches_batch(spark, tmp_path):
+    """Flagship broadcast join under Structured Streaming: metadata files
+    streamed in micro-batches produce the exact batch pair set."""
+    from geospatial_studio_pipelines_spark import datagen
+    from geospatial_studio_pipelines_spark.operators import footprints, spatial_join
+    from geospatial_studio_pipelines_spark.streaming import events as se
+
+    n = 300
+    imgs = datagen.images_df(spark, n).select("image_id", "w", "h", "phash")
+    src = str(tmp_path / "img_stream")
+    # two file drops -> at least two micro-batches with maxFilesPerTrigger=1
+    imgs.filter(F.col("image_id") < "img-00000150").coalesce(1).write.mode("overwrite").parquet(src)
+    imgs.filter(F.col("image_id") >= "img-00000150").coalesce(1).write.mode("append").parquet(src)
+    aois = datagen.aoi_pdf(25)
+    out = se.tile_join_stream(spark, src, aois, max_files_per_trigger=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tile_assign")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.image_id, r.aoi_id) for r in spark.sql("SELECT * FROM tile_assign").collect()}
+    batch = spatial_join.broadcast_spatial_join(footprints.with_footprint(imgs), aois)
+    exp = {(r.image_id, r.aoi_id) for r in batch.collect()}
+    assert got == exp and len(exp) > 0

@@ -58,3 +58,83 @@ def test_partitioned_join_matches_oracle(spark, setup, res, n_salts, transport):
     ).collect()
     assert {(r.image_id, r.aoi_id) for r in got} == oracle
     assert len(got) == len(oracle)
+
+
+def test_cover_cell_expr_matches_numpy_twin(spark):
+    """PBSM invariant: the codegen covering-cell explode (image side) and
+    the numpy cover (AOI side, cover_cell_qr) must produce IDENTICAL cell
+    sets for the same bbox — any divergence silently drops join pairs."""
+    import numpy as np
+
+    from geospatial_studio_pipelines_spark.index import hexgrid
+    from geospatial_studio_pipelines_spark.operators import tiling
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(200):
+        cx = float(rng.uniform(-170, 170))
+        cy = float(rng.uniform(-60, 60))
+        w = float(rng.uniform(1e-4, 8.0))  # from sub-cell to multi-cell
+        h = float(rng.uniform(1e-4, 8.0))
+        rows.append((i, cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2))
+    df = spark.createDataFrame(rows, "id long, minx double, miny double, maxx double, maxy double")
+    for res in (3, 5, 7):
+        got = {}
+        for r in tiling.explode_cover_cells_expr(df, res).collect():
+            got.setdefault(r.id, set()).add(r.cell_id)
+        for i, minx, miny, maxx, maxy in rows:
+            q, rr = tiling.cover_cell_qr(minx, miny, maxx, maxy, res)
+            exp = set(hexgrid._pack(np.full(q.size, res, dtype=np.int64), q, rr).tolist())
+            assert got.get(i, set()) == exp, (res, i)
+
+
+def test_partitioned_join_hot_cell_skew(spark):
+    """All probes landing in ONE hex cell (pathological skew): the salted
+    join must still produce the exact brute-force pair set, and pairs whose
+    bbox intersection straddles several covering cells must dedup to one."""
+    import numpy as np
+    import pandas as pd
+
+    from geospatial_studio_pipelines_spark.geo import wkb as W
+
+    rng = np.random.default_rng(5)
+    n = 1500
+    # probes clustered in a 0.2 deg patch (res-5 cells are ~0.15 deg)
+    cx = 10.0 + rng.uniform(-0.1, 0.1, n)
+    cy = 45.0 + rng.uniform(-0.1, 0.1, n)
+    w = rng.uniform(0.001, 0.15, n)  # some spans exceed one cell
+    h = rng.uniform(0.001, 0.15, n)
+    images = pd.DataFrame(
+        {
+            "image_id": [f"img-{i:08d}" for i in range(n)],
+            "minx": cx - w / 2, "miny": cy - h / 2,
+            "maxx": cx + w / 2, "maxy": cy + h / 2,
+        }
+    )
+    aoi_rows = []
+    for j in range(12):
+        acx = 10.0 + rng.uniform(-0.15, 0.15)
+        acy = 45.0 + rng.uniform(-0.15, 0.15)
+        r = rng.uniform(0.02, 0.2)
+        ang = np.linspace(0, 2 * np.pi, 9)
+        ring = np.column_stack([acx + r * np.cos(ang), acy + r * np.sin(ang)])
+        ring[-1] = ring[0]
+        aoi_rows.append(
+            {
+                "aoi_id": f"aoi-{j:04d}",
+                "geom_wkb": W.dumps_polygon([ring]),
+                "bbox_minx": ring[:, 0].min(), "bbox_miny": ring[:, 1].min(),
+                "bbox_maxx": ring[:, 0].max(), "bbox_maxy": ring[:, 1].max(),
+            }
+        )
+    aoi_pdf = pd.DataFrame(aoi_rows)
+    oracle = spatial_join.spatial_join_oracle(images, aoi_pdf)
+    assert len(oracle) > 2000  # dense overlap — the skew is real
+    images_df = spark.createDataFrame(images)
+    aois_df = spark.createDataFrame(aoi_pdf)
+    for transport in ("broadcast", "rows"):
+        got = spatial_join.partitioned_spatial_join(
+            images_df, aois_df, res=5, n_salts=8, geom_transport=transport
+        ).collect()
+        assert {(r.image_id, r.aoi_id) for r in got} == oracle, transport
+        assert len(got) == len(oracle), transport  # exact dedup, no dupes

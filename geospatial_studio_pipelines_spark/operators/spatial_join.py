@@ -134,9 +134,15 @@ def aoi_cover_cells(aois: DataFrame, res: int, with_geom: bool = True) -> DataFr
     * a ring segment enters the AABB → **boundary** (``full = false``):
       candidates take the exact-test path;
     * no segment enters and the vertices are outside → the cell overlaps the
-      AOI *bbox* but not the polygon — **dropped entirely**, so a diagonal or
-      concave AOI never manufactures candidates from the empty corners of its
-      bbox.
+      AOI *bbox* but not the polygon — **kept as a boundary row anyway**.
+      These cells cannot witness an intersection themselves, but PBSM
+      reference-point dedup emits a pair only from the single cell owning
+      the bbox-intersection corner, and for a thin diagonal/concave AOI that
+      corner can land in a polygon-free cell even though the image bbox
+      intersects the polygon elsewhere. Dropping them silently loses true
+      pairs (caught by a thin-diagonal-strip oracle test); keeping them only
+      adds cheap exact tests, because the exact kernel evaluates the FULL
+      image bbox against the polygon, not just the owning cell.
 
     The trichotomy is sound because a segment wholly inside the AABB still
     "hits" it: if no segment hits, polygon membership is constant across the
@@ -174,7 +180,6 @@ def aoi_cover_cells(aois: DataFrame, res: int, with_geom: bool = True) -> DataFr
                 clng = size * sqrt3 * (q.astype(np.float64) + r.astype(np.float64) / 2.0)
                 clat = size * 1.5 * r.astype(np.float64)
                 full = np.zeros(q.size, dtype=bool)
-                hit_any = np.zeros(q.size, dtype=bool)
                 for s in range(0, q.size, CHUNK):
                     e = min(s + CHUNK, q.size)
                     vx = (clng[s:e, None] + vcos[None, :]).ravel()
@@ -196,18 +201,17 @@ def aoi_cover_cells(aois: DataFrame, res: int, with_geom: bool = True) -> DataFr
                     for ring in rings:
                         hit |= G.segments_hit_boxes(ring, aabb)
                     full[s:e] = inside & ~hit
-                    hit_any[s:e] = hit
-                keep = full | hit_any
-                if not keep.any():
-                    continue
+                # ALL bbox-covering cells stay joinable (incl. polygon-free
+                # 'outside' cells) — reference-point ownership may fall in
+                # any of them; see the classification docstring above.
                 cell_id = hexgrid._pack(np.full(q.size, res, dtype=np.int64), q, r)
                 data = {
                     "aoi_id": row.aoi_id,
-                    "cell_id": cell_id[keep],
-                    "full": full[keep],
+                    "cell_id": cell_id,
+                    "full": full,
                 }
                 if with_geom:
-                    data["geom_wkb"] = np.where(full[keep], None, row.geom_wkb)
+                    data["geom_wkb"] = np.where(full, None, row.geom_wkb)
                 data.update(
                     aoi_minx=row.bbox_minx,
                     aoi_miny=row.bbox_miny,

@@ -60,6 +60,71 @@ def test_partitioned_join_matches_oracle(spark, setup, res, n_salts, transport):
     assert len(got) == len(oracle)
 
 
+def test_partitioned_join_thin_diagonal_strip(spark):
+    """Regression (ADVICE r2, high): a thin diagonal strip AOI leaves most of
+    its bbox polygon-free. PBSM reference-point dedup emits a pair only from
+    the single cell owning the bbox-intersection's bottom-left corner, and
+    for such an AOI that corner can land in a polygon-free covering cell —
+    which the r2 classification dropped entirely, silently losing true
+    pairs. The fix keeps 'outside' cells as boundary rows; this fixture
+    (strip half-width ≪ a res-5 cell, probe bboxes offset off-axis) misses
+    pairs in ~10% of trials on the pre-fix code."""
+    import numpy as np
+    import pandas as pd
+
+    from geospatial_studio_pipelines_spark.geo import wkb as W
+
+    rng = np.random.default_rng(17)
+    x0, y0, x1, y1 = 0.0, 40.0, 8.0, 48.0
+    dx, dy = x1 - x0, y1 - y0
+    nrm = float(np.hypot(dx, dy))
+    nx, ny = -dy / nrm, dx / nrm
+    half_w = 0.02  # much thinner than a res-5 cell (~0.15 deg)
+    ring = np.array(
+        [
+            [x0 + nx * half_w, y0 + ny * half_w],
+            [x1 + nx * half_w, y1 + ny * half_w],
+            [x1 - nx * half_w, y1 - ny * half_w],
+            [x0 - nx * half_w, y0 - ny * half_w],
+            [x0 + nx * half_w, y0 + ny * half_w],
+        ]
+    )
+    aoi_pdf = pd.DataFrame(
+        [
+            {
+                "aoi_id": "aoi-strip",
+                "geom_wkb": W.dumps_polygon([ring]),
+                "bbox_minx": ring[:, 0].min(), "bbox_miny": ring[:, 1].min(),
+                "bbox_maxx": ring[:, 0].max(), "bbox_maxy": ring[:, 1].max(),
+            }
+        ]
+    )
+    rows = []
+    for i in range(300):
+        t = rng.uniform(0.05, 0.95)
+        cx, cy = x0 + t * dx, y0 + t * dy
+        ox, oy = rng.uniform(-0.4, 0.4), rng.uniform(-0.4, 0.4)
+        w, h = rng.uniform(0.05, 0.6), rng.uniform(0.05, 0.6)
+        rows.append(
+            {
+                "image_id": f"img-{i:05d}",
+                "minx": cx + ox - w / 2, "miny": cy + oy - h / 2,
+                "maxx": cx + ox + w / 2, "maxy": cy + oy + h / 2,
+            }
+        )
+    images = pd.DataFrame(rows)
+    oracle = spatial_join.spatial_join_oracle(images, aoi_pdf)
+    assert len(oracle) >= 30  # fixture must exercise the strip heavily
+    images_df = spark.createDataFrame(images)
+    aois_df = spark.createDataFrame(aoi_pdf)
+    for transport in ("broadcast", "rows"):
+        got = spatial_join.partitioned_spatial_join(
+            images_df, aois_df, res=5, n_salts=4, geom_transport=transport
+        ).collect()
+        assert {(r.image_id, r.aoi_id) for r in got} == oracle, transport
+        assert len(got) == len(oracle), transport
+
+
 def test_cover_cell_expr_matches_numpy_twin(spark):
     """PBSM invariant: the codegen covering-cell explode (image side) and
     the numpy cover (AOI side, cover_cell_qr) must produce IDENTICAL cell

@@ -9,11 +9,18 @@ centers are inverse-projected into the source grid and sampled
 (nearest/bilinear), NODATA outside — the same inverse-mapping algorithm
 gdalwarp implements.
 
-Supported CRS: ``EPSG:4326`` (lon/lat degrees, equirectangular pixel grids)
-and ``EPSG:3857`` (spherical web-mercator meters) — the pair the reference
-actually moves between (its mask buffers go through 3857,
-``postprocess_generic_helper_functions.py:273-277``). Formulas are the
-standard published spherical-mercator equations (R = 6378137 m).
+Supported CRS: ``EPSG:4326`` (lon/lat degrees, equirectangular pixel grids),
+``EPSG:3857`` (spherical web-mercator meters — the reference's mask buffers
+go through it, ``postprocess_generic_helper_functions.py:273-277``), and the
+UTM zones ``EPSG:326xx`` (north) / ``EPSG:327xx`` (south) — real satellite
+scenes (HLS, Sentinel-2) are delivered in UTM, and the reference's
+``gdalwarp -t_srs`` path accepts any source CRS
+(``raster_data_operations.py:363-431``, ``check_projection:16-31``).
+Mercator formulas are the standard published spherical equations
+(R = 6378137 m); UTM is the WGS84 transverse-mercator via the published
+4th-order Krüger series (Karney 2011, "Transverse Mercator with an accuracy
+of a few nanometers") — sub-millimeter within a zone's extent.
+Any CRS pair composes through lon/lat.
 """
 
 from __future__ import annotations
@@ -42,6 +49,81 @@ def webmerc_to_lonlat(x, y):
     return lon, lat
 
 
+# ------------------------- UTM: WGS84 transverse mercator (Krüger series)
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_N3 = _WGS84_F / (2.0 - _WGS84_F)  # third flattening n
+# rectifying-sphere radius A and the published 4th-order series coefficients
+_TM_A = _WGS84_A / (1 + _N3) * (1 + _N3**2 / 4 + _N3**4 / 64)
+_ALPHA = (
+    _N3 / 2 - 2 * _N3**2 / 3 + 5 * _N3**3 / 16 + 41 * _N3**4 / 180,
+    13 * _N3**2 / 48 - 3 * _N3**3 / 5 + 557 * _N3**4 / 1440,
+    61 * _N3**3 / 240 - 103 * _N3**4 / 140,
+    49561 * _N3**4 / 161280,
+)
+_BETA = (
+    _N3 / 2 - 2 * _N3**2 / 3 + 37 * _N3**3 / 96 - _N3**4 / 360,
+    _N3**2 / 48 + _N3**3 / 15 - 437 * _N3**4 / 1440,
+    17 * _N3**3 / 480 - 37 * _N3**4 / 840,
+    4397 * _N3**4 / 161280,
+)
+_DELTA = (
+    2 * _N3 - 2 * _N3**2 / 3 - 2 * _N3**3 + 116 * _N3**4 / 45,
+    7 * _N3**2 / 3 - 8 * _N3**3 / 5 - 227 * _N3**4 / 45,
+    56 * _N3**3 / 15 - 136 * _N3**4 / 35,
+    4279 * _N3**4 / 315,
+)
+_K0_UTM = 0.9996
+_UTM_FE = 500000.0
+_UTM_FN_SOUTH = 10000000.0
+_E2SN = 2.0 * np.sqrt(_N3) / (1.0 + _N3)
+
+
+def _utm_zone(norm: str) -> tuple[float, float]:
+    """(central meridian degrees, false northing) for EPSG:326xx/327xx."""
+    code = int(norm.split(":")[1])
+    zone = code % 100
+    lon0 = zone * 6.0 - 183.0
+    fn = _UTM_FN_SOUTH if code // 100 == 327 else 0.0
+    return lon0, fn
+
+
+def lonlat_to_utm(lon, lat, utm_crs: str):
+    """EPSG:4326 → UTM zone (forward Krüger series)."""
+    lon0, fn = _utm_zone(utm_crs)
+    lam = np.deg2rad(np.asarray(lon, np.float64) - lon0)
+    phi = np.deg2rad(np.asarray(lat, np.float64))
+    sphi = np.sin(phi)
+    t = np.sinh(np.arctanh(sphi) - _E2SN * np.arctanh(_E2SN * sphi))
+    xi0 = np.arctan2(t, np.cos(lam))
+    eta0 = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+    xi, eta = xi0.copy(), eta0.copy()
+    for j, a in enumerate(_ALPHA, start=1):
+        xi = xi + a * np.sin(2 * j * xi0) * np.cosh(2 * j * eta0)
+        eta = eta + a * np.cos(2 * j * xi0) * np.sinh(2 * j * eta0)
+    x = _UTM_FE + _K0_UTM * _TM_A * eta
+    y = fn + _K0_UTM * _TM_A * xi
+    return x, y
+
+
+def utm_to_lonlat(x, y, utm_crs: str):
+    """UTM zone → EPSG:4326 (inverse Krüger series + Newton on latitude)."""
+    lon0, fn = _utm_zone(utm_crs)
+    eta = (np.asarray(x, np.float64) - _UTM_FE) / (_K0_UTM * _TM_A)
+    xi = (np.asarray(y, np.float64) - fn) / (_K0_UTM * _TM_A)
+    xi_p, eta_p = xi.copy(), eta.copy()
+    for j, b in enumerate(_BETA, start=1):
+        xi_p = xi_p - b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p = eta_p - b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    chi = np.arcsin(np.clip(np.sin(xi_p) / np.cosh(eta_p), -1.0, 1.0))
+    phi = chi
+    for j, d in enumerate(_DELTA, start=1):
+        phi = phi + d * np.sin(2 * j * chi)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
 _CRS_ALIASES = {
     "EPSG:4326": "EPSG:4326",
     "4326": "EPSG:4326",
@@ -52,20 +134,42 @@ _CRS_ALIASES = {
 
 
 def _norm_crs(crs: str) -> str:
+    key = str(crs).upper().strip()
     try:
-        return _CRS_ALIASES[str(crs).upper()]
+        return _CRS_ALIASES[key]
     except KeyError:
-        raise ValueError(f"unsupported CRS {crs!r} (supported: EPSG:4326, EPSG:3857)")
+        pass
+    code = key.removeprefix("EPSG:")
+    if code.isdigit() and len(code) == 5 and code[:3] in ("326", "327") and 1 <= int(code[3:]) <= 60:
+        return f"EPSG:{code}"
+    raise ValueError(
+        f"unsupported CRS {crs!r} (supported: EPSG:4326, EPSG:3857, UTM EPSG:326xx/327xx)"
+    )
+
+
+def _to_lonlat(norm: str, x, y):
+    if norm == "EPSG:4326":
+        return np.asarray(x, np.float64), np.asarray(y, np.float64)
+    if norm == "EPSG:3857":
+        return webmerc_to_lonlat(x, y)
+    return utm_to_lonlat(x, y, norm)
+
+
+def _from_lonlat(norm: str, lon, lat):
+    if norm == "EPSG:4326":
+        return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
+    if norm == "EPSG:3857":
+        return lonlat_to_webmerc(lon, lat)
+    return lonlat_to_utm(lon, lat, norm)
 
 
 def transform_points(src_crs: str, dst_crs: str, x, y):
-    """Coordinate arrays from src_crs to dst_crs (identity when equal)."""
+    """Coordinate arrays from src_crs to dst_crs (identity when equal);
+    any pair composes through lon/lat."""
     s, d = _norm_crs(src_crs), _norm_crs(dst_crs)
     if s == d:
         return np.asarray(x, np.float64), np.asarray(y, np.float64)
-    if s == "EPSG:4326":
-        return lonlat_to_webmerc(x, y)
-    return webmerc_to_lonlat(x, y)
+    return _from_lonlat(d, *_to_lonlat(s, x, y))
 
 
 def warp_array(

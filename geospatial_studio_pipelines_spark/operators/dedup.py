@@ -57,7 +57,16 @@ def minhash_bands(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     Single-pass: signature projection → explode over an inline band array.
     (A per-band union would re-evaluate the shingle/minhash expression tree
     once per band — 4× the scan CPU; explode fans out from one evaluation.)"""
-    sig = docs.select(F.col(id_col), *minhash_signature(F.col(text_col)))
+    # Docs shorter than SHINGLE_K hash to an empty shingle set → all-null
+    # signature. Drop them here: Spark's concat_ws skips nulls, so every
+    # null-signature doc would share the SAME ":"-only band key and all
+    # short docs would become mutual candidates (and a zero-union pair
+    # downstream). SQL engines agree for free — a NULL band key never
+    # equi-joins — so the filter is also what keeps the DuckDB twin
+    # bit-identical.
+    sig = docs.select(F.col(id_col), *minhash_signature(F.col(text_col))).filter(
+        F.col("mh0").isNotNull()
+    )
     n_bands = N_PERM // BAND_SIZE
     band_structs = F.array(
         *[
@@ -135,33 +144,73 @@ def ngram_jaccard_pairs(
         # interpreted; measured 2.5× slower than this kernel.
         import numpy as np
 
-        sets = {
-            row[0]: np.asarray(row[1], dtype=np.int64)
-            for row in sets_df.select(id_col, "sh").toLocalIterator()
-        }
-        bc = docs.sparkSession.sparkContext.broadcast(sets)
+        # CSR layout instead of an id→array dict: one flat values array +
+        # offsets, so the per-batch kernel below is loop-free. Shingle-hash
+        # values are < 2^41 (max codepoint 0x10FFFF × Σ31^j ≈ 3.4e10), which
+        # leaves room to bias values by pair-index·2^41 and run ONE global
+        # searchsorted per batch instead of one per pair.
+        rows = list(sets_df.select(id_col, "sh").toLocalIterator())
+        counts = np.fromiter((len(r[1]) for r in rows), dtype=np.int64, count=len(rows))
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        values = (
+            np.concatenate([np.asarray(r[1], dtype=np.int64) for r in rows])
+            if len(rows)
+            else np.empty(0, np.int64)
+        )
+        index = {r[0]: i for i, r in enumerate(rows)}
+        del rows
+        bc = docs.sparkSession.sparkContext.broadcast(
+            {"counts": counts, "offs": offs, "values": values, "index": index}
+        )
         id_a_t = dict(pairs.dtypes)["id_a"]
         id_b_t = dict(pairs.dtypes)["id_b"]
+        SHIFT = np.int64(1) << 41
+        CHUNK = 1 << 20  # pair-index bias must stay under 2^63: 2^20·2^41
 
         def kernel(batches):
             import pyarrow as pa
 
             s = bc.value
+            counts, offs, values, index = s["counts"], s["offs"], s["values"], s["index"]
+
+            def gather(ix, ln):
+                # values[offs[ix[p]] : offs[ix[p]]+ln[p]] for every pair p,
+                # flattened — repeat/arange, no Python loop
+                ends = np.cumsum(ln)
+                flat = np.arange(int(ends[-1]), dtype=np.int64) - np.repeat(ends - ln, ln)
+                return values[np.repeat(offs[ix], ln) + flat]
+
             for rb in batches:
                 if rb.num_rows == 0:
                     continue
                 ia = rb.column(0).to_numpy(zero_copy_only=False)
                 ib = rb.column(1).to_numpy(zero_copy_only=False)
-                jac = np.empty(rb.num_rows, dtype=np.float64)
-                for i in range(rb.num_rows):
-                    a = s[ia[i]]
-                    b = s[ib[i]]
-                    if len(a) > len(b):  # search the smaller in the larger
-                        a, b = b, a
-                    pos = np.searchsorted(b, a)
-                    pos[pos == len(b)] = len(b) - 1
-                    inter = int(np.count_nonzero(b[pos] == a))
-                    jac[i] = inter / (len(a) + len(b) - inter)
+                n = rb.num_rows
+                pa_ix = np.fromiter((index[x] for x in ia), dtype=np.int64, count=n)
+                pb_ix = np.fromiter((index[x] for x in ib), dtype=np.int64, count=n)
+                jac = np.empty(n, dtype=np.float64)
+                for s0 in range(0, n, CHUNK):
+                    e0 = min(s0 + CHUNK, n)
+                    axi, bxi = pa_ix[s0:e0], pb_ix[s0:e0]
+                    la, lb = counts[axi], counts[bxi]
+                    swap = la > lb  # search the smaller set in the larger
+                    q_ix, t_ix = np.where(swap, bxi, axi), np.where(swap, axi, bxi)
+                    ql, tl = counts[q_ix], counts[t_ix]
+                    m = e0 - s0
+                    seg = np.arange(m, dtype=np.int64)
+                    qk = gather(q_ix, ql) + np.repeat(seg * SHIFT, ql)
+                    tk = gather(t_ix, tl) + np.repeat(seg * SHIFT, tl)
+                    # tk is globally sorted (segments ascending, sorted within)
+                    pos = np.searchsorted(tk, qk)
+                    if tk.size:
+                        hit = tk[np.minimum(pos, tk.size - 1)] == qk
+                    else:
+                        hit = np.zeros(qk.size, dtype=bool)
+                    inter = np.bincount(np.repeat(seg, ql)[hit], minlength=m).astype(np.float64)
+                    union = (la + lb).astype(np.float64) - inter
+                    # zero-union (two sub-SHINGLE_K docs) → 0.0 by convention,
+                    # same as the shuffled path's guard
+                    jac[s0:e0] = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
                 yield pa.record_batch(
                     [rb.column(0), rb.column(1), pa.array(jac)],
                     names=["id_a", "id_b", "jaccard"],
@@ -183,8 +232,11 @@ def ngram_jaccard_pairs(
     j = pairs.join(a_side, "id_a").join(b_side, "id_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     union = F.col("n_a").cast("double") + F.col("n_b").cast("double") - inter
+    # zero-union (both docs shorter than SHINGLE_K) → 0.0 by convention —
+    # the same value the kernel path emits, so the two paths never diverge
+    jaccard = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
-        j.select("id_a", "id_b", (inter / union).alias("jaccard"))
+        j.select("id_a", "id_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )
@@ -257,6 +309,15 @@ def embedding_near_dups(
         from .similarity import lsh_near_dup_pairs
 
         return lsh_near_dup_pairs(emb, threshold, id_col=id_col, vec_col=vec_col)
+    from .similarity import EMB_BROADCAST_MAX_BYTES
+
+    est = emb.agg(F.sum(F.size(vec_col) * 4 + 64)).first()[0] or 0
+    if est > EMB_BROADCAST_MAX_BYTES:
+        raise ValueError(
+            f"embedding_near_dups(method='brute'): table ≈{est >> 20} MiB "
+            f"exceeds the {EMB_BROADCAST_MAX_BYTES >> 20} MiB broadcast cap "
+            "— use method='lsh'"
+        )
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))

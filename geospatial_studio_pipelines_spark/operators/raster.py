@@ -219,15 +219,22 @@ def reproject(
     ``:16-31``): rows whose ``src_crs_col`` differs from ``dst_crs`` are
     inverse-mapping warped to a ``(w, h)`` grid over their bbox transformed
     into ``dst_crs``; rows already in ``dst_crs`` pass through the same
-    resample (gdalwarp does too when a size is forced). Emits the new bounds
-    in ``dst_crs`` as ``minx..maxy`` plus ``crs`` = ``dst_crs``."""
+    resample (gdalwarp does too when a size is forced). OVERWRITES the
+    canonical ``bounds_cols`` and ``src_crs_col`` with the warped values —
+    downstream ops (footprints, joins, masking) key on ``minx..maxy``/
+    ``crs``, so stale source-CRS bounds there would silently corrupt every
+    later stage (r2 emitted separate ``dst_*`` columns and left the
+    canonical ones untouched — ADVICE fix)."""
     from ..geo import crs as C
 
     out_col = out_col or in_col.replace("bytes", "") + "warped_bytes"
     bminx, bminy, bmaxx, bmaxy = bounds_cols
     cols = [c for c in df.columns]
-    schema = ", ".join(f"{c} {t}" for c, t in df.dtypes if c in cols)
-    schema += f", {out_col} binary, dst_minx double, dst_miny double, dst_maxx double, dst_maxy double"
+    dtypes = dict(df.dtypes)
+    for c in bounds_cols:
+        dtypes[c] = "double"  # warped bounds are double regardless of input
+    schema = ", ".join(f"{c} {dtypes[c]}" for c in cols)
+    schema += f", {out_col} binary"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -251,10 +258,11 @@ def reproject(
                 blobs.append(encode_image(warped, "raw"))
                 bs.append(dst_bounds)
             out = pdf[cols].copy()
-            out[out_col] = blobs
             arr_b = np.array(bs, dtype=np.float64).reshape(-1, 4)
-            out["dst_minx"], out["dst_miny"] = arr_b[:, 0], arr_b[:, 1]
-            out["dst_maxx"], out["dst_maxy"] = arr_b[:, 2], arr_b[:, 3]
+            out[bminx], out[bminy] = arr_b[:, 0], arr_b[:, 1]
+            out[bmaxx], out[bmaxy] = arr_b[:, 2], arr_b[:, 3]
+            out[src_crs_col] = dst_crs
+            out[out_col] = blobs
             yield out
 
     return df.mapInPandas(run, schema)

@@ -42,7 +42,15 @@ def brute_force_topk(
     emb: DataFrame, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """Exact cosine top-k for every vector (self-query). Returns
-    (id_a, id_b, cos_sim rounded 1e-6, rank); ties break by id_b."""
+    (id_a, id_b, cos_sim rounded 1e-6, rank); ties break by id_b.
+    Size-gated: the broadcast build side must fit ``EMB_BROADCAST_MAX_BYTES``
+    — past that the O(n²) scan is the wrong tool anyway; use ``lsh_topk``."""
+    est = emb.agg(F.sum(F.size(vec_col) * 4 + 64)).first()[0] or 0
+    if est > EMB_BROADCAST_MAX_BYTES:
+        raise ValueError(
+            f"brute_force_topk: embedding table ≈{est >> 20} MiB exceeds the "
+            f"{EMB_BROADCAST_MAX_BYTES >> 20} MiB broadcast cap — use lsh_topk"
+        )
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.join(F.broadcast(b), F.col("id_a") != F.col("id_b"))
@@ -59,12 +67,18 @@ def with_lsh_bucket(
     dim: int,
     n_planes: int = 6,
     n_tables: int = 4,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
     """Add (table, bucket) rows per vector: sign-bit signature per table.
-    One Arrow-batched matmul per partition — the vectorized-UDF hot path."""
+    One Arrow-batched matmul per partition — the vectorized-UDF hot path.
+    Output keeps the caller's ``id_col``/``vec_col`` names and types (the r2
+    schema hardcoded vec_id/embedding, so the advertised parameters threw
+    KeyError — ADVICE fix)."""
     planes = [hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    dtypes = dict(emb.dtypes)
+    out_schema = f"{id_col} {dtypes[id_col]}, {vec_col} {dtypes[vec_col]}, table int, bucket long"
 
     def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -85,8 +99,8 @@ def with_lsh_bucket(
                 out.append(
                     pd.DataFrame(
                         {
-                            "vec_id": pdf["vec_id"].to_numpy(),
-                            "embedding": pdf[vec_col].to_numpy(),
+                            id_col: pdf[id_col].to_numpy(),
+                            vec_col: pdf[vec_col].to_numpy(),
                             "table": t,
                             "bucket": bucket.astype(np.int64),
                         }
@@ -94,9 +108,31 @@ def with_lsh_bucket(
                 )
             yield pd.concat(out, ignore_index=True)
 
-    return emb.mapInPandas(
-        sig, f"vec_id long, embedding array<float>, table int, bucket long"
+    return emb.select(id_col, vec_col).mapInPandas(sig, out_schema)
+
+
+#: broadcast cap for embedding relations (estimated 4·dim + 64 bytes/row):
+#: past it, nothing table-sized is ever broadcast — under-filled queries
+#: escalate through wider LSH buckets and, as a last resort, the (small)
+#: residual query side is the broadcast side, never the table.
+EMB_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def _ranked_from_buckets(
+    qb: DataFrame, cb: DataFrame, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Bucket-join query buckets against corpus buckets (both outputs of
+    ``with_lsh_bucket`` at the SAME plane count) and exact-rank the
+    candidates. Local per-bucket work — the IVF shape."""
+    a = qb.select("table", "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = cb.select("table", "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "va", "vb")
     )
+    return _rank_topk(cand, k)
 
 
 def lsh_topk(
@@ -108,33 +144,51 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: bucket-join candidates, exact-rank them, brute-force only
-    the under-filled queries. Rows identical in shape to brute_force_topk."""
-    buckets = with_lsh_bucket(emb, dim, n_planes, n_tables, vec_col).cache()
-    a = buckets.select(
-        F.col("table"), F.col("bucket"), F.col(id_col).alias("id_a"), F.col("embedding").alias("va")
-    )
-    b = buckets.select(
-        F.col("table"), F.col("bucket"), F.col(id_col).alias("id_b"), F.col("embedding").alias("vb")
-    )
-    cand = (
-        a.join(b, ["table", "bucket"])
-        .filter(F.col("id_a") != F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", "va", "vb")
-    )
-    ranked = _rank_topk(cand, k)
+    """ANN top-k: bucket-join candidates, exact-rank them, then recover
+    under-filled queries (< k candidates) by ESCALATION — re-bucket just
+    those queries against the corpus with half the planes (≈ 2^Δp × wider
+    buckets) — before any exact fallback. The final fallback never
+    broadcasts the corpus un-gated (the r2 version did — at 10^9 vectors
+    one sparse query OOM'd every executor): under ``EMB_BROADCAST_MAX_BYTES``
+    the corpus broadcast is the fast path, past it the (small) residual
+    query side is broadcast instead and the corpus streams by. Rows
+    identical in shape to brute_force_topk."""
+    vecs = emb.select(F.col(id_col), F.col(vec_col))
+    bucketed = with_lsh_bucket(vecs, dim, n_planes, n_tables, id_col, vec_col).cache()
+    ranked = _ranked_from_buckets(bucketed, bucketed, k, id_col, vec_col).cache()
     filled = ranked.groupBy("id_a").count().filter(F.col("count") >= k).select("id_a")
-    good = ranked.join(filled, "id_a", "left_semi")
-    # fallback: queries with too few candidates get exact search
-    missing = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")).join(
-        filled, "id_a", "left_anti"
-    )
-    allb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    fb_pairs = missing.join(F.broadcast(allb), F.col("id_a") != F.col("id_b"))
-    fallback = _rank_topk(fb_pairs, k)
-    out = good.unionByName(fallback)
-    buckets.unpersist()
+    out = ranked.join(filled, "id_a", "left_semi")
+    missing = vecs.withColumnRenamed(id_col, "id_a").join(filled, "id_a", "left_anti")
+    missing = missing.withColumnRenamed("id_a", id_col).cache()
+    n_missing = missing.count()
+    if n_missing and n_planes > 1:
+        # escalation rung: wider buckets for ONLY the missing queries — one
+        # extra corpus pass, no pair explosion for the already-filled 99%+
+        p2 = max(1, n_planes // 2)
+        qb2 = with_lsh_bucket(missing, dim, p2, n_tables, id_col, vec_col)
+        cb2 = with_lsh_bucket(vecs, dim, p2, n_tables, id_col, vec_col)
+        r2 = _ranked_from_buckets(qb2, cb2, k, id_col, vec_col).cache()
+        f2 = r2.groupBy("id_a").count().filter(F.col("count") >= k).select("id_a")
+        out = out.unionByName(r2.join(f2, "id_a", "left_semi"))
+        still = missing.withColumnRenamed(id_col, "id_a").join(f2, "id_a", "left_anti")
+        missing = still.withColumnRenamed("id_a", id_col).cache()
+        n_missing = missing.count()
+    if n_missing:
+        # exact fallback for the residual (k > candidates even in n/2^p2-
+        # sized buckets — only near-degenerate k or pathological data)
+        q = missing.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        allb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        n_total = vecs.count()
+        row_bytes = 4 * dim + 64
+        if n_total * row_bytes <= EMB_BROADCAST_MAX_BYTES:
+            fb_pairs = q.join(F.broadcast(allb), F.col("id_a") != F.col("id_b"))
+        else:
+            # corpus too big to broadcast: broadcast the residual queries
+            # (bounded: they number ≤ the under-filled count) and stream
+            # the corpus past them — the join stays map-side over the
+            # corpus scan; only the rank shuffles, on id_a
+            fb_pairs = allb.join(F.broadcast(q), F.col("id_a") != F.col("id_b"))
+        out = out.unionByName(_rank_topk(fb_pairs, k))
     return out
 
 
@@ -156,9 +210,9 @@ def lsh_near_dup_pairs(
     the 4-planes × 8-tables default gives ≈1-(1-(1-θ/π)⁴)⁸ ≈ 0.99 recall at
     the near-dup regime (cos ≥ 0.9, pytest-gated); raise ``n_tables`` (or
     lower ``n_planes``) to trade compute for recall."""
-    buckets = with_lsh_bucket(emb, dim, n_planes, n_tables, vec_col)
-    a = buckets.select("table", "bucket", F.col(id_col).alias("id_a"), F.col("embedding").alias("va"))
-    b = buckets.select("table", "bucket", F.col(id_col).alias("id_b"), F.col("embedding").alias("vb"))
+    buckets = with_lsh_bucket(emb, dim, n_planes, n_tables, id_col, vec_col)
+    a = buckets.select("table", "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = buckets.select("table", "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     cand = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -200,6 +200,93 @@ def test_warp_array_linear_oracle():
     assert np.allclose(inner, expect[5:-5, 5:-5], rtol=1e-5)
 
 
+def test_utm_transform_accuracy():
+    """UTM (EPSG:326xx/327xx) Krüger-series forward/inverse: anchor points,
+    an INDEPENDENT meridian-arc quadrature oracle (not the series itself),
+    and round-trip ≤ 1e-6° across a zone incl. high latitude."""
+    from geospatial_studio_pipelines_spark.geo import crs as C
+
+    # anchors: central meridian → E=500000; equator → N=0 north / 1e7 south
+    x, y = C.lonlat_to_utm(15.0, 0.0, "EPSG:32633")
+    assert abs(float(x) - 500000.0) < 1e-6 and abs(float(y)) < 1e-6
+    x, y = C.lonlat_to_utm(15.0, 0.0, "EPSG:32733")
+    assert abs(float(y) - 10000000.0) < 1e-6
+    # northing along the CM = k0 × meridian arc length (ellipsoid integral)
+    a, f = 6378137.0, 1 / 298.257223563
+    e2 = f * (2 - f)
+    phi = np.linspace(0, np.deg2rad(60), 400001)
+    M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+    arc = np.trapz(M, phi)
+    _, y60 = C.lonlat_to_utm(15.0, 60.0, "EPSG:32633")
+    assert abs(float(y60) - 0.9996 * arc) < 1e-3  # sub-mm series vs quadrature
+    # round trip over each zone (±3.5° of ITS central meridian, 80S..84N)
+    rng = np.random.default_rng(0)
+    lat = rng.uniform(-80, 84, 5000)
+    for crs, cm in (("EPSG:32633", 15.0), ("EPSG:32733", 15.0), ("32645", 87.0)):
+        lon = cm + rng.uniform(-3.5, 3.5, 5000)
+        xx, yy = C.transform_points("EPSG:4326", crs, lon, lat)
+        lo, la = C.transform_points(crs, "WGS84", xx, yy)
+        assert np.abs(lo - lon).max() < 1e-6 and np.abs(la - lat).max() < 1e-6
+    # composition UTM → 3857 goes through lon/lat
+    X, Y = C.transform_points("EPSG:32633", "3857", np.array([500000.0]), np.array([0.0]))
+    ex, ey = C.lonlat_to_webmerc(15.0, 0.0)
+    assert abs(float(X[0]) - float(ex)) < 1e-6 and abs(float(Y[0]) - float(ey)) < 1e-6
+    with pytest.raises(ValueError):
+        C._norm_crs("EPSG:32661")  # zone 61 does not exist
+
+
+def test_warp_array_utm_linear_oracle():
+    """Bilinear warp of f(lon,lat)=3lon+5lat from 4326 onto a UTM grid
+    reproduces f at every destination center (bilinear exact on linear
+    fields; centers inverse-projected through the round-trip-verified
+    utm_to_lonlat)."""
+    from geospatial_studio_pipelines_spark.geo import crs as C
+
+    h = w = 40
+    minx, miny, maxx, maxy = 13.0, 45.0, 16.0, 47.0
+    lon_c = minx + (np.arange(w) + 0.5) * (maxx - minx) / w
+    lat_c = maxy - (np.arange(h) + 0.5) * (maxy - miny) / h
+    field = (3.0 * lon_c[None, :] + 5.0 * lat_c[:, None]).astype(np.float32)[..., None]
+    xs, ys = C.lonlat_to_utm(np.array([minx, maxx]), np.array([miny, maxy]), "EPSG:32633")
+    dst_bounds = (float(xs[0]), float(ys[0]), float(xs[1]), float(ys[1]))
+    out = C.warp_array(
+        field, (minx, miny, maxx, maxy), "EPSG:4326", dst_bounds, "EPSG:32633", 50, 50, "bilinear"
+    )
+    mx = dst_bounds[0] + (np.arange(50) + 0.5) * (dst_bounds[2] - dst_bounds[0]) / 50
+    my = dst_bounds[3] - (np.arange(50) + 0.5) * (dst_bounds[3] - dst_bounds[1]) / 50
+    glon, glat = C.utm_to_lonlat(*np.meshgrid(mx, my), "EPSG:32633")
+    expect = 3.0 * glon + 5.0 * glat
+    inner = out[5:-5, 5:-5, 0]
+    ok = inner != C.NODATA  # corners of the rotated UTM footprint fall outside
+    assert ok.mean() > 0.9
+    assert np.allclose(inner[ok], expect[5:-5, 5:-5][ok], rtol=1e-5)
+
+
+def test_reproject_stage_utm(spark):
+    """reproject() accepts UTM sources end-to-end (the gdalwarp 'any source
+    CRS' parity): a scene delivered in EPSG:32633 warps to 4326 and the
+    canonical bounds/crs columns carry the warped values."""
+    from geospatial_studio_pipelines_spark.geo import crs as C
+
+    arr = datagen.fixture_pixels(3, 16, 20).astype(np.float32)
+    xs, ys = C.lonlat_to_utm(np.array([14.0, 15.0]), np.array([45.0, 46.0]), "EPSG:32633")
+    pdf = pd.DataFrame(
+        {
+            "image_id": ["a"],
+            "bytes": [encode_image(arr, "raw")],
+            "crs": ["EPSG:32633"],
+            "minx": [float(xs[0])], "miny": [float(ys[0])],
+            "maxx": [float(xs[1])], "maxy": [float(ys[1])],
+            "w": [16], "h": [20],
+        }
+    )
+    out = raster.reproject(spark.createDataFrame(pdf), "bytes", dst_crs="EPSG:4326").collect()[0]
+    warped = decode_image(bytes(out["warped_bytes"]))
+    assert warped.shape == (20, 16, 3)
+    assert out["crs"] == "EPSG:4326"
+    assert abs(out["minx"] - 14.0) < 1e-6 and abs(out["maxy"] - 46.0) < 1e-6
+
+
 def test_reproject_stage(spark):
     from geospatial_studio_pipelines_spark.geo import crs as C
 
@@ -217,11 +304,18 @@ def test_reproject_stage(spark):
     out = raster.reproject(df, "bytes", dst_crs="EPSG:3857").collect()[0]
     warped = decode_image(bytes(out["warped_bytes"]))
     assert warped.shape == (20, 16, 3)
+    # canonical bounds + crs columns carry the WARPED values (ADVICE fix:
+    # downstream joins/masks key on minx..maxy/crs; stale source-CRS bounds
+    # there silently corrupt every later stage)
     ex0, ey0 = C.lonlat_to_webmerc(10.0, 40.0)
-    assert abs(out["dst_minx"] - float(ex0)) < 1e-6 and abs(out["dst_miny"] - float(ey0)) < 1e-6
-    # same-CRS reproject = plain resample passthrough
+    ex1, ey1 = C.lonlat_to_webmerc(12.0, 41.0)
+    assert abs(out["minx"] - float(ex0)) < 1e-6 and abs(out["miny"] - float(ey0)) < 1e-6
+    assert abs(out["maxx"] - float(ex1)) < 1e-6 and abs(out["maxy"] - float(ey1)) < 1e-6
+    assert out["crs"] == "EPSG:3857"
+    # same-CRS reproject = plain resample passthrough, bounds unchanged
     same = raster.reproject(df, "bytes", dst_crs="EPSG:4326").collect()[0]
     assert np.array_equal(decode_image(bytes(same["warped_bytes"])), arr)
+    assert same["minx"] == 10.0 and same["maxy"] == 41.0 and same["crs"] == "EPSG:4326"
 
 
 def test_make_rgb(spark):

@@ -180,6 +180,76 @@ def test_ngram_jaccard_shuffled_join_matches_broadcast(docs):
     assert len(bc) > 0
 
 
+def test_lsh_custom_column_names(spark, emb):
+    """Regression (ADVICE r2, low): with_lsh_bucket hardcoded vec_id/
+    embedding in its output schema, so the advertised id_col/vec_col
+    parameters raised KeyError. Renamed columns must give the identical
+    pair set / top-k as the default names."""
+    sub = emb.filter(F.col("vec_id") < 300)
+    renamed = sub.select(
+        F.col("vec_id").alias("item_id"), F.col("embedding").alias("vec")
+    )
+    base = similarity.lsh_near_dup_pairs(sub, threshold=0.9)
+    alt = similarity.lsh_near_dup_pairs(renamed, threshold=0.9, id_col="item_id", vec_col="vec")
+    assert {(r.id_a, r.id_b) for r in alt.collect()} == {
+        (r.id_a, r.id_b) for r in base.collect()
+    }
+    base_k = similarity.lsh_topk(sub, k=3, n_planes=3, n_tables=4)
+    alt_k = similarity.lsh_topk(renamed, k=3, n_planes=3, n_tables=4, id_col="item_id", vec_col="vec")
+    assert {(r.id_a, r.id_b, r.rank) for r in alt_k.collect()} == {
+        (r.id_a, r.id_b, r.rank) for r in base_k.collect()
+    }
+
+
+def test_lsh_topk_no_table_broadcast_past_cap(spark, emb, monkeypatch):
+    """Directive r2 #3: past EMB_BROADCAST_MAX_BYTES the corpus must never
+    be broadcast — under-filled queries escalate through wider buckets and
+    the residual fallback broadcasts the (small) query side instead. With
+    the cap forced to 0 bytes the result must still be exactly-k per query
+    and identical to the under-cap run."""
+    sub = emb.filter(F.col("vec_id") < 200).cache()
+    n = sub.count()
+    k = 8  # deliberately under-fillable at 6 planes over 200 vectors
+    expect = similarity.lsh_topk(sub, k=k, n_planes=6, n_tables=2)
+    rows_exp = {(r.id_a, r.id_b, r.rank) for r in expect.collect()}
+    monkeypatch.setattr(similarity, "EMB_BROADCAST_MAX_BYTES", 0)
+    got = similarity.lsh_topk(sub, k=k, n_planes=6, n_tables=2)
+    rows_got = {(r.id_a, r.id_b, r.rank) for r in got.collect()}
+    assert rows_got == rows_exp
+    per_query = {}
+    for a, _, _ in rows_got:
+        per_query[a] = per_query.get(a, 0) + 1
+    assert set(per_query.values()) == {k} and len(per_query) == n  # exactly-k
+    # brute_force_topk refuses past the cap instead of broadcasting
+    with pytest.raises(ValueError, match="broadcast cap"):
+        similarity.brute_force_topk(sub, k=3)
+    with pytest.raises(ValueError, match="broadcast cap"):
+        dedup.embedding_near_dups(sub, threshold=0.9, method="brute")
+
+
+def test_ngram_jaccard_all_short_docs_no_crash(spark):
+    """Regression (ADVICE r2, medium): docs shorter than SHINGLE_K hash to
+    empty shingle sets and all-null minhash signatures. Before the fix,
+    Spark's concat_ws collapsed the null band keys to one shared bucket, so
+    every short-doc pair became a candidate and the broadcast kernel crashed
+    with ZeroDivisionError (0/0) while the shuffled path silently dropped
+    the pair — two divergent behaviors. Now: null-signature docs never band
+    (mirroring SQL NULL-key join semantics), and an explicitly-passed
+    zero-union pair scores 0.0 on BOTH paths."""
+    rows = [(0, "ab"), (1, "cd"), (2, "x"), (3, ""), (4, "abcdefgh"), (5, "abcdefgh")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # LSH candidates: short docs must not bucket together — only the real
+    # duplicate pair survives, on both verify paths, no crash
+    for bs in (True, False):
+        got = dedup.ngram_jaccard_pairs(df, threshold=0.0, broadcast_sets=bs).collect()
+        assert {(r.id_a, r.id_b) for r in got} == {(4, 5)}, bs
+    # explicit zero-union pair: defined 0.0 convention on both paths
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    for bs in (True, False):
+        got = dedup.ngram_jaccard_pairs(df, pairs=pairs, threshold=0.0, broadcast_sets=bs).collect()
+        assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(0, 1, 0.0)], bs
+
+
 def test_lsh_near_dup_recall_on_clustered_vectors(spark):
     """Recall gate in the regime LSH near-dup is FOR (cos >= 0.9): clustered
     vectors (base + small noise) — 4 planes x 8 tables must recover >= 95%

@@ -231,11 +231,39 @@ def aoi_cover_cells(aois: DataFrame, res: int, with_geom: bool = True) -> DataFr
 GEOM_BROADCAST_MAX_BYTES = 128 << 20
 
 
+def refpoint_owner_pred(res: int):
+    """PBSM reference-point dedup predicate, fully codegen and branchless:
+    decode the candidate cell's centre from ``cell_id`` (bit ops), then
+    half-open 3-slab point-in-hex ownership of the bbox-intersection's
+    bottom-left corner ``(max(minx, aoi_minx), max(miny, aoi_miny))``.
+    Half-open slabs ([-apo, apo) on the three hex edge-normal axes) tile the
+    plane, so every reference point has EXACTLY ONE owner cell even on hex
+    boundaries — stronger than axial rounding, and ~30 flat expression nodes
+    vs the rounding `when`-tree that blew past JIT method limits and ran
+    interpreted (measured 13.6s for 17.5M rows at 32 cores). Owner-cell
+    uniqueness holds across the whole covering-cell set, so joins against
+    disjoint cell subsets emit disjoint pair sets — no cross-branch dedup."""
+    sqrt3 = float(np.sqrt(3.0))
+    size = float(hexgrid.cell_size(res))
+    apo = F.lit(sqrt3 / 2.0 * size)
+    mask29 = F.lit((1 << 29) - 1)
+    off = F.lit(hexgrid._OFF)
+    cq = (F.shiftright(F.col("cell_id"), 29).bitwiseAND(mask29) - off).cast("double")
+    cr = (F.col("cell_id").bitwiseAND(mask29) - off).cast("double")
+    dx = F.greatest(F.col("minx"), F.col("aoi_minx")) - F.lit(size * sqrt3) * (cq + cr / 2.0)
+    dy = F.greatest(F.col("miny"), F.col("aoi_miny")) - F.lit(size * 1.5) * cr
+    a2 = dx * 0.5 + F.lit(sqrt3 / 2.0) * dy
+    a3 = F.lit(sqrt3 / 2.0) * dy - dx * 0.5
+    return (
+        (dx >= -apo) & (dx < apo) & (a2 >= -apo) & (a2 < apo) & (a3 >= -apo) & (a3 < apo)
+    )
+
+
 def partitioned_spatial_join(
     images_fp: DataFrame,
     aois: DataFrame,
     res: int = 5,
-    n_salts: int = 8,
+    n_salts: int | None = None,
     id_col: str = "image_id",
     geom_transport: str = "auto",
 ) -> DataFrame:
@@ -255,11 +283,18 @@ def partitioned_spatial_join(
       intersection. Only boundary-cell candidates reach the vectorized
       exact kernel, with the WKB riding the (small) AOI-cell relation, never
       the candidate stream.
-    * **Skew**: image-side salt spreads a hot cell over ``n_salts`` hash
-      buckets (AOI cells replicated per salt); AQE skew-join splits anything
-      beyond that. The exact stage is order-agnostic, so parallelism is
-      bounded by shuffle partitions — not by AOI count × salt as the old
-      cogroup design was (measured flat 8→32 wall time; now removed).
+    * **Skew**: ``n_salts=None`` (default) resolves to 1 when AQE skew-join
+      is enabled — Spark's runtime skew split already divides an oversized
+      probe partition and replicates the matching build rows per split, so a
+      static image-side salt only replicates the ENTIRE AOI-cell build
+      relation ``n_salts``× for nothing (measured ~20% of join wall time at
+      the 1.5M-cell fixture). Without AQE it resolves to 8. An explicit
+      ``n_salts`` still forces static salting (hot-cell exactness tests use
+      it; also the right lever when one cell exceeds what AQE's
+      per-partition split granularity can fix). The exact stage is
+      order-agnostic, so parallelism is bounded by shuffle partitions — not
+      by AOI count × salt as the old cogroup design was (measured flat 8→32
+      wall time; now removed).
     * ``shuffle_hash`` hint on the cell relation: the build side is the AOI
       cells; exploded mapInPandas output has no reliable size estimate, so
       we pin the strategy instead of letting a mis-estimate pick a broadcast
@@ -289,7 +324,14 @@ def partitioned_spatial_join(
             else "rows"
         )
     broadcast_geoms = geom_transport == "broadcast"
-    salted = n_salts is not None and n_salts > 1
+    if n_salts is None:
+        aqe_skew = (
+            images_fp.sparkSession.conf.get("spark.sql.adaptive.enabled", "true") == "true"
+            and images_fp.sparkSession.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+            == "true"
+        )
+        n_salts = 1 if aqe_skew else 8
+    salted = n_salts > 1
     img_cells = explode_cover_cells_expr(
         images_fp.select(id_col, "minx", "miny", "maxx", "maxy"), res
     )
@@ -334,31 +376,7 @@ def partitioned_spatial_join(
             & (F.col("miny") <= F.col("aoi_maxy"))
             & (F.col("maxy") >= F.col("aoi_miny"))
         )
-        # PBSM reference-point dedup, fully codegen and branchless: decode the
-        # candidate cell's centre from cell_id (bit ops), then half-open
-        # 3-slab point-in-hex ownership of the bbox-intersection's
-        # bottom-left corner. Half-open slabs ([-apo, apo) on the three hex
-        # edge-normal axes) tile the plane, so every reference point has
-        # EXACTLY ONE owner cell even on hex boundaries — stronger than
-        # axial rounding, and ~30 flat expression nodes vs the rounding
-        # `when`-tree that blew past JIT method limits and ran interpreted
-        # (measured 13.6s for 17.5M rows at 32 cores). The owner cell is
-        # unique across the full ∪ boundary cell sets, so the two joins
-        # emit disjoint pair sets — no cross-branch dedup needed.
-        sqrt3 = float(np.sqrt(3.0))
-        size = float(hexgrid.cell_size(res))
-        apo = F.lit(sqrt3 / 2.0 * size)
-        mask29 = F.lit((1 << 29) - 1)
-        off = F.lit(hexgrid._OFF)
-        cq = (F.shiftright(F.col("cell_id"), 29).bitwiseAND(mask29) - off).cast("double")
-        cr = (F.col("cell_id").bitwiseAND(mask29) - off).cast("double")
-        dx = F.greatest(F.col("minx"), F.col("aoi_minx")) - F.lit(size * sqrt3) * (cq + cr / 2.0)
-        dy = F.greatest(F.col("miny"), F.col("aoi_miny")) - F.lit(size * 1.5) * cr
-        a2 = dx * 0.5 + F.lit(sqrt3 / 2.0) * dy
-        a3 = F.lit(sqrt3 / 2.0) * dy - dx * 0.5
-        return cand.filter(
-            (dx >= -apo) & (dx < apo) & (a2 >= -apo) & (a2 < apo) & (a3 >= -apo) & (a3 < apo)
-        )
+        return cand.filter(refpoint_owner_pred(res))
 
     full_pairs = candidates(acells_full).select(id_col, "aoi_id")
     sel_cols = [id_col, "aoi_id", "minx", "miny", "maxx", "maxy"]

@@ -48,7 +48,14 @@ def test_broadcast_join_extra_cols(spark, setup):
 
 @pytest.mark.parametrize(
     "res,n_salts,transport",
-    [(5, 1, "broadcast"), (5, 4, "broadcast"), (7, 4, "auto"), (5, 4, "rows"), (7, 1, "rows")],
+    [
+        (5, 1, "broadcast"),
+        (5, 4, "broadcast"),
+        (7, 4, "auto"),
+        (5, 4, "rows"),
+        (7, 1, "rows"),
+        (5, None, "auto"),  # n_salts auto-resolution (1 under AQE skew-join)
+    ],
 )
 def test_partitioned_join_matches_oracle(spark, setup, res, n_salts, transport):
     images_fp, aoi_pdf, oracle = setup

@@ -9,6 +9,12 @@ parallelism levels on identical pre-materialized parquet input — both the
     efficiency = throughput(4N) / (4 × throughput(N))
 
 Methodology (what makes the number honest):
+  * each measurement process is CPU-PINNED (``taskset``) to exactly its
+    core count: without pinning, a local[8] run's 8 JVM task threads AND
+    its 8 Python workers spread over all 32 host vCPUs — the "8-core" run
+    silently consumes up to 2× its nominal cores and the N→4N ratio is
+    structurally understated for any job with a Python stage. Pinning makes
+    local[N] a faithful N-CPU executor. Calibration pins identically,
   * input is generated ONCE (untimed) and written to parquet; both
     parallelism levels read the exact same files,
   * parquet split size is set so every job runs ≥4 task waves at the high
@@ -83,8 +89,19 @@ CALIB_SRC = (
     "print('CAL::'+str(out[0])+','+str(out[1]))\n"
 )
 
+def _pin_prefix(cores: int) -> list[str]:
+    """taskset wrapper limiting the process tree to `cores` CPUs (see
+    module docstring). Disable with SPARK_GRAFT_PIN_CPUS=0."""
+    import shutil
+
+    if os.environ.get("SPARK_GRAFT_PIN_CPUS", "1") == "0" or not shutil.which("taskset"):
+        return []
+    ncpu = os.cpu_count() or cores
+    return ["taskset", "-c", f"0-{min(cores, ncpu) - 1}"]
+
+
 def calibrate(cores: int) -> float:
-    out = subprocess.run([sys.executable, "-c", CALIB_SRC, str(cores)],
+    out = subprocess.run([*_pin_prefix(cores), sys.executable, "-c", CALIB_SRC, str(cores)],
                          capture_output=True, text=True, timeout=120)
     for line in out.stdout.splitlines():
         if line.startswith("CAL::"):
@@ -212,8 +229,10 @@ def job_partitioned():
     # fraction (the Python exact-kernel load) faster than they grow the
     # image-side explode — measured 9.3s -> 6.1s at 16 cores vs res 3; the
     # 40 deg fixture AOI's ~68k covering cells classify in <1s (one-off,
-    # checkpointed)
-    return spatial_join.partitioned_spatial_join(fp, aoi_num, res=5, n_salts=8, id_col="id")
+    # checkpointed). n_salts resolves to 1 (AQE skew-join handles probe
+    # skew; static salting replicated the 1.5M-row AOI-cell build side 8x
+    # for ~20% extra join wall time).
+    return spatial_join.partitioned_spatial_join(fp, aoi_num, res=5, id_col="id")
 
 fn = {"image_decode_stats": job_decode,
       "image_tile_join": job_tile_join,
@@ -237,9 +256,9 @@ def fill_template(script: str) -> str:
     return script.replace("__REPO__", repr(REPO)).replace("__NAOIS__", str(N_AOIS))
 
 
-def run_worker(script: str, args: list[str], timeout: int = 3600) -> dict:
+def run_worker(script: str, args: list[str], timeout: int = 3600, pin_cores: int | None = None) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", script, *args],
+        [*(_pin_prefix(pin_cores) if pin_cores else []), sys.executable, "-c", script, *args],
         capture_output=True,
         text=True,
         timeout=timeout,
@@ -264,18 +283,24 @@ def measure_pair(lo: int, hi: int) -> dict:
     # rounds samples both levels under comparable host conditions
     r_lo: dict = {}
     r_hi: dict = {}
+    rounds_lo: dict = {}
+    rounds_hi: dict = {}
     for _ in range(PHASE_ROUNDS):
-        for cores, acc in ((lo, r_lo), (hi, r_hi)):
+        for cores, acc, rounds in ((lo, r_lo, rounds_lo), (hi, r_hi, rounds_hi)):
             # fresh JVM per job: a prior job's heap/GC state otherwise bleeds
             # into the next measurement (observed 2x inflation at 32 cores)
             g, b = calibrate(cores)
             acc["calib_gflops"] = max(acc.get("calib_gflops", 0.0), g)
             acc["calib_gbps"] = max(acc.get("calib_gbps", 0.0), b)
             for job in JOBS:
-                r = run_worker(fill_template(MEASURE_WORKER), [str(cores), INPUT_DIR, str(N_PART_JOIN), job])
+                r = run_worker(fill_template(MEASURE_WORKER),
+                               [str(cores), INPUT_DIR, str(N_PART_JOIN), job],
+                               pin_cores=cores)
                 for k, v in r.items():
                     acc[k] = min(acc.get(k, v), v)
-    report = {"cores_lo": lo, "cores_hi": hi, "input_dir": INPUT_DIR}
+                    rounds.setdefault(k, []).append(v)
+    report = {"cores_lo": lo, "cores_hi": hi, "input_dir": INPUT_DIR,
+              "round_times": {f"c{lo}": rounds_lo, f"c{hi}": rounds_hi}}
     calib_ratio = r_hi["calib_gflops"] / r_lo["calib_gflops"]
     bw_ratio = r_hi["calib_gbps"] / r_lo["calib_gbps"]
     report["calibration"] = {
@@ -289,20 +314,27 @@ def measure_pair(lo: int, hi: int) -> dict:
         "membw_efficiency_ceiling": round(bw_ratio / (hi / lo), 3),
     }
     del r_lo["calib_gflops"], r_hi["calib_gflops"], r_lo["calib_gbps"], r_hi["calib_gbps"]
+    import statistics
+
     for key in r_lo:
         job = key.removesuffix("_s")
         unit, n = JOB_N[job]
         t_lo, t_hi = r_lo[key], r_hi[key]
         thr_lo, thr_hi = n / t_lo, n / t_hi
         eff = thr_hi / ((hi / lo) * thr_lo)
+        med_lo = statistics.median(rounds_lo[key])
+        med_hi = statistics.median(rounds_hi[key])
         report[job] = {
             "n": n,
             "unit": unit,
             f"t{lo}_s": round(t_lo, 2),
             f"t{hi}_s": round(t_hi, 2),
+            f"t{lo}_median_s": round(med_lo, 2),
+            f"t{hi}_median_s": round(med_hi, 2),
             f"throughput_{lo}": round(thr_lo, 1),
             f"throughput_{hi}": round(thr_hi, 1),
             "efficiency": round(eff, 3),
+            "efficiency_median": round((n / med_hi) / ((hi / lo) * (n / med_lo)), 3),
             "efficiency_vs_hw_ceiling": round(
                 min(1.0, eff / report["calibration"]["hw_efficiency_ceiling"]), 3
             ),
@@ -335,16 +367,16 @@ def _write_md_pair(report: dict) -> list[str]:
         "",
         f"efficiency = thr({hi}) / ({hi // lo} · thr({lo})), identical pre-materialized input.",
         "",
-        f"| job | n rows | t({lo}) s | t({hi}) s | thr({lo}) /s | thr({hi}) /s | efficiency | vs-hw-ceiling |",
-        "|---|---|---|---|---|---|---|---|",
+        f"| job | n rows | t({lo}) s | t({hi}) s | thr({lo}) /s | thr({hi}) /s | eff (best) | eff (median) | vs-hw-ceiling |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for key, v in report.items():
-        if not isinstance(v, dict) or key == "calibration":
+        if not isinstance(v, dict) or key in ("calibration", "round_times"):
             continue
         lines.append(
             f"| {key} | {v['n']} | {v[f't{lo}_s']} | {v[f't{hi}_s']} | "
             f"{v[f'throughput_{lo}']} | {v[f'throughput_{hi}']} | {v['efficiency']} | "
-            f"{v['efficiency_vs_hw_ceiling']} |"
+            f"{v.get('efficiency_median', '—')} | {v['efficiency_vs_hw_ceiling']} |"
         )
     cal = report["calibration"]
     lines += [
@@ -402,7 +434,12 @@ def _write_md(reports: list[dict]) -> None:
         "equi-join (salted, interior/boundary split, broadcast-geometry exact",
         "kernel) over 16M footprints × 500 AOIs.",
         "",
-        "Method: input generated once (untimed) and read by every measurement;",
+        "Method: every measurement process (and its calibration) is CPU-pinned",
+        "(taskset) to exactly its core count — unpinned, a local[8] run's JVM",
+        "threads and its 8 Python workers spread across all 32 host vCPUs,",
+        "silently consuming ~2x the nominal cores and structurally",
+        "understating N→4N efficiency for any job with a Python stage;",
+        "input generated once (untimed) and read by every measurement;",
         "parquet split size set for ≥4 task waves; ONE FRESH JVM per",
         "(parallelism, job) measurement (a prior job's heap/GC state otherwise",
         "bleeds into the next); per-JVM warmup job (worker fork, numpy import,",

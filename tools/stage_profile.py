@@ -58,7 +58,9 @@ mat(spatial_join.broadcast_spatial_join(small, datagen.aoi_pdf(16)))
 fp = numeric_footprints(spark.read.parquet(meta_dir).filter(F.col("id") < n_part))
 aoi_num = datagen.aoi_df(spark, 500).withColumn(
     "aoi_id", F.substring("aoi_id", 5, 4).cast("long"))
-j = spatial_join.partitioned_spatial_join(fp, aoi_num, res=3, n_salts=8, id_col="id")
+j = spatial_join.partitioned_spatial_join(
+    fp, aoi_num, res=int(os.environ.get("PJOIN_RES", "5")),
+    n_salts=int(os.environ.get("PJOIN_SALTS", "1")), id_col="id")
 mat(j.limit(0))
 
 t0 = time.time()

@@ -916,6 +916,66 @@ SELECT id_a, id_b, cos_sim FROM (
 Q_EMBEDDING_NEAR_DUPS_LSH_SQL = _lsh_near_dups_sql()
 
 
+def q_utm_footprints(spark, sf_dir):
+    """F7 CRS parity in the ORACLE-gated set: per-order UTM zone assignment
+    (EPSG:326xx/327xx) + Krüger-series easting/northing, rounded to cm.
+    The Spark kernel composes hyperbolics from exp/log in exactly the order
+    the DuckDB twin emits (geo/crs.utm_oracle_kernel ↔ utm_sql), so both
+    engines walk the same libm calls — the grid_tiles trig-twin trick
+    extended to a full map projection."""
+    import numpy as np
+
+    from .geo.crs import utm_oracle_kernel
+
+    pts = order_points(spark, sf_dir)
+
+    def kern(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lon = pdf["lon"].to_numpy(dtype=np.float64)
+            lat = pdf["lat"].to_numpy(dtype=np.float64)
+            zone = np.clip(np.floor((lon + 180.0) / 6.0).astype(np.int64) + 1, 1, 60)
+            lon0 = zone * 6.0 - 183.0
+            fn = np.where(lat < 0, 10000000.0, 0.0)
+            e, n = utm_oracle_kernel(lon, lat, lon0, fn)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "zone": zone,
+                    "south": lat < 0,
+                    "easting": np.round(e, 2),
+                    "northing": np.round(n, 2),
+                }
+            )
+
+    return pts.mapInPandas(
+        kern, "id long, zone long, south boolean, easting double, northing double"
+    ).orderBy("id")
+
+
+def _utm_footprints_sql() -> str:
+    from .geo.crs import utm_sql
+
+    easting, northing = utm_sql(
+        "lon", "lat", "zone * 6.0 - 183.0",
+        "CASE WHEN lat < 0 THEN 10000000.0 ELSE 0.0 END",
+    )
+    return f"""
+WITH pts AS ({ORDER_POINTS_SQL}), z AS (
+  SELECT id, lon, lat,
+         LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 6.0) AS BIGINT) + 1, 1), 60) AS zone
+  FROM pts
+)
+SELECT id, zone, lat < 0 AS south,
+       round({easting}, 2) AS easting, round({northing}, 2) AS northing
+FROM z ORDER BY id
+"""
+
+
+Q_UTM_FOOTPRINTS_SQL = _utm_footprints_sql()
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, Q_PRICING_SUMMARY_SQL),
     "top_revenue_orders": (q_top_revenue_orders, Q_TOP_REVENUE_ORDERS_SQL),
@@ -945,6 +1005,7 @@ QUERIES = {
     "embedding_near_dups": (q_embedding_near_dups, Q_EMBEDDING_NEAR_DUPS_SQL),
     "embedding_near_dups_lsh": (q_embedding_near_dups_lsh, Q_EMBEDDING_NEAR_DUPS_LSH_SQL),
     "event_props_json": (q_event_props_json, Q_EVENT_PROPS_JSON_SQL),
+    "utm_footprints": (q_utm_footprints, Q_UTM_FOOTPRINTS_SQL),
 }
 
 

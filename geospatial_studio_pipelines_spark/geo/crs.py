@@ -163,6 +163,68 @@ def _from_lonlat(norm: str, lon, lat):
     return lonlat_to_utm(lon, lat, norm)
 
 
+def utm_oracle_kernel(lon, lat, lon0: float, fn: float):
+    """Krüger forward with hyperbolics COMPOSED from exp/log in the exact
+    order ``utm_sql`` emits them — numpy and DuckDB then call the same
+    system libm primitives in the same order, making the oracle comparison
+    bit-stable (the ``grid_tiles`` trig-twin trick). Semantically identical
+    to ``lonlat_to_utm`` (pytest-asserted ≤ 1e-8 m); that production path
+    keeps np.sinh/np.arctanh, which are faster but not twin-reproducible."""
+    D2R = float(np.pi) / 180.0  # explicit constant-multiply (radians() twin)
+    lam = (np.asarray(lon, np.float64) - lon0) * D2R
+    phi = np.asarray(lat, np.float64) * D2R
+    s = np.sin(phi)
+    atanh_s = 0.5 * np.log((1.0 + s) / (1.0 - s))
+    es = _E2SN * s
+    atanh_es = 0.5 * np.log((1.0 + es) / (1.0 - es))
+    u = atanh_s - _E2SN * atanh_es
+    t = (np.exp(u) - np.exp(-u)) / 2.0
+    cl = np.cos(lam)
+    xi0 = np.arctan2(t, cl)
+    w = np.sin(lam) / np.sqrt(t * t + cl * cl)
+    eta0 = np.log(w + np.sqrt(w * w + 1.0))
+    xi, eta = xi0.copy(), eta0.copy()
+    for j, a in enumerate(_ALPHA, start=1):
+        e2j = np.exp(2.0 * j * eta0)
+        cosh_j = (e2j + 1.0 / e2j) / 2.0
+        sinh_j = (e2j - 1.0 / e2j) / 2.0
+        xi = xi + a * np.sin(2.0 * j * xi0) * cosh_j
+        eta = eta + a * np.cos(2.0 * j * xi0) * sinh_j
+    return _UTM_FE + _K0_UTM * _TM_A * eta, fn + _K0_UTM * _TM_A * xi
+
+
+def utm_sql(lon: str, lat: str, lon0: str, fn: str) -> str:
+    """DuckDB expression pair reproducing ``utm_oracle_kernel`` bit-for-bit:
+    returns ``(easting_sql, northing_sql)``. Hyperbolics composed from
+    exp/ln in the identical order; series coefficients embedded via repr
+    (exact double literals)."""
+    d2r = repr(float(np.pi) / 180.0)
+    lam = f"((({lon}) - ({lon0})) * {d2r})"
+    phi = f"(({lat}) * {d2r})"
+    s = f"sin({phi})"
+    atanh_s = f"(0.5 * ln((1.0 + {s}) / (1.0 - {s})))"
+    es = f"({_E2SN!r} * {s})"
+    atanh_es = f"(0.5 * ln((1.0 + {es}) / (1.0 - {es})))"
+    u = f"({atanh_s} - {_E2SN!r} * {atanh_es})"
+    t = f"((exp({u}) - exp(-{u})) / 2.0)"
+    cl = f"cos({lam})"
+    xi0 = f"atan2({t}, {cl})"
+    w = f"(sin({lam}) / sqrt({t} * {t} + {cl} * {cl}))"
+    eta0 = f"ln({w} + sqrt({w} * {w} + 1.0))"
+    xi_terms = [xi0]
+    eta_terms = [eta0]
+    for j, a in enumerate(_ALPHA, start=1):
+        e2j = f"exp({2.0 * j!r} * {eta0})"
+        cosh_j = f"(({e2j} + 1.0 / {e2j}) / 2.0)"
+        sinh_j = f"(({e2j} - 1.0 / {e2j}) / 2.0)"
+        xi_terms.append(f"{a!r} * sin({2.0 * j!r} * {xi0}) * {cosh_j}")
+        eta_terms.append(f"{a!r} * cos({2.0 * j!r} * {xi0}) * {sinh_j}")
+    k0a = f"{_K0_UTM * _TM_A!r}"
+    easting = f"({_UTM_FE!r} + {k0a} * (" + " + ".join(eta_terms) + "))"
+    northing = f"(({fn}) + {k0a} * (" + " + ".join(xi_terms) + "))"
+    return easting, northing
+
+
 def transform_points(src_crs: str, dst_crs: str, x, y):
     """Coordinate arrays from src_crs to dst_crs (identity when equal);
     any pair composes through lon/lat."""

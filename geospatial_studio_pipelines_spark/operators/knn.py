@@ -96,8 +96,8 @@ def knn_join(
         radius *= 4
 
     if not unresolved.isEmpty():
-        # sparse stragglers: brute force against broadcast of all points
-        rest = _brute_force(unresolved, pts, k)
+        # sparse stragglers: exact pass, gated — see _brute_force
+        rest = _brute_force(unresolved, pts, k, n_total=n)
         results = rest if results is None else results.unionByName(rest)
 
     pts.unpersist()
@@ -152,12 +152,28 @@ def _topk(cand: DataFrame, k: int) -> DataFrame:
     return pruned.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _brute_force(queries: DataFrame, all_pts: DataFrame, k: int) -> DataFrame:
+#: broadcast cap for the brute-force straggler pass (~32 B per point row)
+POINTS_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def _brute_force(queries: DataFrame, all_pts: DataFrame, k: int,
+                 n_total: int | None = None) -> DataFrame:
+    """Exact kNN for straggler queries. Under ``POINTS_BROADCAST_MAX_BYTES``
+    the full point table is the broadcast build side (fast small-table
+    path); past it the table is NEVER broadcast — the (small) straggler
+    query side is broadcast instead and the point table streams by, with
+    the map-side partial top-k bounding the rank shuffle at
+    k × queries × partitions rows."""
     qp = queries.select("pid", "lat", "lon")
     tp = all_pts.select(
         F.col("pid").alias("nid"), F.col("lat").alias("nlat"), F.col("lon").alias("nlon")
     )
-    cand = qp.join(F.broadcast(tp), qp.pid != tp.nid)
+    if n_total is None:
+        n_total = all_pts.count()
+    if n_total * 32 <= POINTS_BROADCAST_MAX_BYTES:
+        cand = qp.join(F.broadcast(tp), qp.pid != tp.nid)
+    else:
+        cand = tp.join(F.broadcast(qp), qp.pid != tp.nid)
     dx = F.col("lon") - F.col("nlon")
     dy = F.col("lat") - F.col("nlat")
     cand = cand.select("pid", "nid", (dx * dx + dy * dy).alias("dist2"))

@@ -7,13 +7,23 @@ per-task config files, the engine does with:
 
 * **stages** — named ``DataFrame -> DataFrame`` functions (the CLAIMED
   component analog, SURVEY §2.10), composed by ``run_pipeline``
-* **snapshot checkpoints** — each stage's output is committed atomically
-  (write to a temp dir, fsync, ``os.rename``) and recorded in a ledger with
-  a monotonically increasing ``snapshot_id``. This emulates Iceberg snapshot
-  commits with the same atomicity contract; on a cluster with an Iceberg
-  catalog the ``Checkpointer`` is swapped for ``df.writeTo(...).append()`` +
-  the catalog's snapshot id (pure-python engine keeps the parquet fallback
-  so `spark-submit --py-files` needs no JVM extension jars)
+* **snapshot checkpoints** — two interchangeable backends behind
+  ``Pipeline(backend=...)``:
+
+  - ``"parquet"`` (the default everywhere jars are absent): each stage's
+    output is committed atomically (write to a temp dir, fsync,
+    ``os.rename``) and recorded in a ledger with a monotonically increasing
+    ``snapshot_id`` — Iceberg's snapshot-commit atomicity contract without
+    JVM extension jars, so ``spark-submit --py-files`` stays sufficient.
+  - ``"iceberg"``: stage outputs land as real Iceberg tables via
+    ``df.writeTo(<catalog>.<ns>.<job>__<stage>).createOrReplace()`` and the
+    ledger records the CATALOG's snapshot id (read back from the table's
+    ``.snapshots`` metadata). Activated when ``backend="auto"`` finds
+    ``iceberg-spark-runtime`` on the classpath AND the target catalog named
+    by ``$SPARK_GRAFT_ICEBERG_CATALOG`` (default ``spark_catalog``) is an
+    Iceberg SparkCatalog; this sandbox has no jars, so auto resolves to
+    parquet here and the iceberg branch is exercised by a forced-mode
+    error-path test.
 * **resume** — a rerun of the same job id skips every stage whose ledger
   entry and committed output exist; outputs are byte-stable because every
   generator/operator is a pure function of its input (no wall clock, no
@@ -66,14 +76,104 @@ class Stage:
     fn: Callable[[DataFrame], DataFrame]
 
 
-class Pipeline:
-    """Compose and run stages with checkpoint/resume over a warehouse dir."""
+def iceberg_available(spark: SparkSession, catalog: str | None = None) -> bool:
+    """True when iceberg-spark-runtime is on the classpath AND ``catalog``
+    (default $SPARK_GRAFT_ICEBERG_CATALOG or ``spark_catalog``) is
+    configured as an Iceberg SparkCatalog/SparkSessionCatalog."""
+    catalog = catalog or os.environ.get("SPARK_GRAFT_ICEBERG_CATALOG", "spark_catalog")
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+    except Exception:  # noqa: BLE001 — absence of the jar IS the signal
+        return False
+    impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+    return impl is not None and "iceberg" in impl.lower()
 
-    def __init__(self, spark: SparkSession, warehouse: str, job_id: str):
+
+class _IcebergSnapshots:
+    """Stage-output storage through a real Iceberg catalog: writeTo +
+    catalog snapshot ids. Table per (job, stage): ``<catalog>.<ns>.<job>__
+    <stage>`` (namespace $SPARK_GRAFT_ICEBERG_NS, default ``gsp``)."""
+
+    def __init__(self, spark: SparkSession, job_id: str, catalog: str | None = None):
+        self.spark = spark
+        self.catalog = catalog or os.environ.get("SPARK_GRAFT_ICEBERG_CATALOG", "spark_catalog")
+        self.ns = os.environ.get("SPARK_GRAFT_ICEBERG_NS", "gsp")
+        self.job_id = job_id
+        if not iceberg_available(spark, self.catalog):
+            raise RuntimeError(
+                f"backend='iceberg' requires iceberg-spark-runtime on the "
+                f"classpath and spark.sql.catalog.{self.catalog} set to an "
+                "Iceberg catalog — launch with --packages "
+                "org.apache.iceberg:iceberg-spark-runtime-<ver> or use "
+                "backend='parquet'"
+            )
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.ns}")
+
+    def _table(self, stage: str) -> str:
+        safe = "".join(c if c.isalnum() else "_" for c in f"{self.job_id}__{stage}")
+        return f"{self.catalog}.{self.ns}.{safe}"
+
+    def committed(self, stage: str) -> bool:
+        return self.spark.catalog.tableExists(self._table(stage))
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.table(self._table(stage))
+
+    def write(self, df: DataFrame, stage: str) -> int:
+        tbl = self._table(stage)
+        df.writeTo(tbl).using("iceberg").createOrReplace()  # atomic catalog commit
+        snap = self.spark.sql(
+            f"SELECT snapshot_id FROM {tbl}.snapshots ORDER BY committed_at DESC LIMIT 1"
+        ).first()
+        return int(snap["snapshot_id"])
+
+
+class _ParquetSnapshots:
+    """Jar-free fallback with the same atomicity contract: temp dir →
+    fsync'd ledger entry → os.rename. Snapshot ids are ledger-monotonic."""
+
+    def __init__(self, pipeline: "Pipeline"):
+        self.p = pipeline
+
+    def committed(self, stage: str) -> bool:
+        out = self.p._stage_path(stage)
+        return os.path.exists(os.path.join(out, "_SUCCESS"))
+
+    def read(self, stage: str) -> DataFrame:
+        return self.p.spark.read.parquet(self.p._stage_path(stage))
+
+    def write(self, df: DataFrame, stage: str) -> int | None:
+        out_path = self.p._stage_path(stage)
+        tmp_path = out_path + "__tmp"
+        if os.path.exists(tmp_path):
+            shutil.rmtree(tmp_path)
+        df.write.mode("overwrite").parquet(tmp_path)
+        if os.path.exists(out_path):
+            shutil.rmtree(out_path)
+        os.rename(tmp_path, out_path)  # atomic snapshot commit
+        return None  # ledger assigns the monotonic id
+
+
+class Pipeline:
+    """Compose and run stages with checkpoint/resume over a warehouse dir.
+
+    ``backend="auto"`` uses a real Iceberg catalog when one is configured
+    (see ``iceberg_available``) and the parquet-ledger emulation otherwise;
+    ``"parquet"``/``"iceberg"`` force a mode."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, job_id: str,
+                 backend: str = "auto"):
         self.spark = spark
         self.warehouse = warehouse
         self.job_id = job_id
         os.makedirs(self._ledger_dir, exist_ok=True)
+        if backend == "auto":
+            backend = "iceberg" if iceberg_available(spark) else "parquet"
+        self.backend = backend
+        self._store = (
+            _IcebergSnapshots(spark, job_id) if backend == "iceberg"
+            else _ParquetSnapshots(self)
+        )
 
     # ------------------------------------------------------------ paths
 
@@ -90,12 +190,12 @@ class Pipeline:
     # ------------------------------------------------------------ ledger
 
     def committed(self, stage: str) -> bool:
-        p = self._ledger_path(stage)
-        out = self._stage_path(stage)
-        return os.path.exists(p) and os.path.exists(os.path.join(out, "_SUCCESS"))
+        return os.path.exists(self._ledger_path(stage)) and self._store.committed(stage)
 
-    def _commit(self, stage: str, wall_ms: float, part_metrics: dict) -> int:
-        snapshot_id = len(os.listdir(self._ledger_dir)) + 1
+    def _commit(self, stage: str, wall_ms: float, part_metrics: dict,
+                snapshot_id: int | None = None) -> int:
+        if snapshot_id is None:
+            snapshot_id = len(os.listdir(self._ledger_dir)) + 1
         entry = {
             "job_id": self.job_id,
             "stage": stage,
@@ -156,23 +256,16 @@ class Pipeline:
         return df.mapInPandas(meter, schema)
 
     def run_stage(self, stage: Stage, inp: DataFrame | None) -> DataFrame:
-        out_path = self._stage_path(stage.name)
         if self.committed(stage.name):
-            return self.spark.read.parquet(out_path)
+            return self._store.read(stage.name)
         accum = self.spark.sparkContext.accumulator({}, _DictAccum())
         t0 = time.time()
         out = stage.fn(inp)
         out = self._instrument(out, accum)
-        tmp_path = out_path + "__tmp"
-        if os.path.exists(tmp_path):
-            shutil.rmtree(tmp_path)
-        out.write.mode("overwrite").parquet(tmp_path)
-        if os.path.exists(out_path):
-            shutil.rmtree(out_path)
-        os.rename(tmp_path, out_path)  # atomic snapshot commit
+        snapshot_id = self._store.write(out, stage.name)
         wall_ms = (time.time() - t0) * 1000.0
-        self._commit(stage.name, wall_ms, dict(accum.value))
-        return self.spark.read.parquet(out_path)
+        self._commit(stage.name, wall_ms, dict(accum.value), snapshot_id)
+        return self._store.read(stage.name)
 
     def run(self, stages: list[Stage], source: DataFrame | None = None) -> DataFrame:
         cur = source

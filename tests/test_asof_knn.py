@@ -80,3 +80,20 @@ def test_knn_escalation_path(spark):
     g = set(map(tuple, got[["image_id", "nid", "rank"]].itertuples(index=False)))
     e = set(map(tuple, exp[["image_id", "nid", "rank"]].itertuples(index=False)))
     assert g == e
+
+
+def test_knn_straggler_pass_never_broadcasts_big_table(spark, monkeypatch):
+    """Past POINTS_BROADCAST_MAX_BYTES the straggler brute-force pass must
+    broadcast the (small) query side, not the point table — forced by
+    setting the cap to 0; results must equal the normal path's."""
+    pdf = datagen.images_pdf(20)
+    phash = pdf["phash"].to_numpy()
+    pdf["lon"] = -180.0 + (phash % 360_000) / 1000.0
+    pdf["lat"] = -60.0 + ((phash // 360_000) % 120_000) / 1000.0
+    pts = spark.createDataFrame(pdf[["image_id", "lat", "lon"]])
+    monkeypatch.setattr(knn, "POINTS_BROADCAST_MAX_BYTES", 0)
+    got = knn.knn_join(pts, k=3, res=12).toPandas()
+    exp = knn.knn_oracle(pdf, k=3)
+    g = set(map(tuple, got[["image_id", "nid", "rank"]].itertuples(index=False)))
+    e = set(map(tuple, exp[["image_id", "nid", "rank"]].itertuples(index=False)))
+    assert g == e

@@ -92,3 +92,20 @@ def test_pipeline_distinct_jobs_isolated(spark, warehouse):
     calls_b, stages_b = _stages(spark)
     Pipeline(spark, warehouse, "jobB").run(stages_b[:1])
     assert calls_b["fp"] == 1  # different job id does not reuse jobA's snapshot
+
+
+def test_backend_auto_resolves_parquet_without_jars(spark, warehouse):
+    """No iceberg-spark-runtime in this sandbox: backend='auto' must pick
+    the parquet-ledger emulation, and iceberg_available must say why."""
+    from geospatial_studio_pipelines_spark.plans.pipeline import iceberg_available
+
+    assert iceberg_available(spark) is False
+    p = Pipeline(spark, warehouse, job_id="jobAuto")
+    assert p.backend == "parquet"
+
+
+def test_backend_iceberg_forced_without_jars_errors(spark, warehouse):
+    import pytest
+
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        Pipeline(spark, warehouse, job_id="jobIce", backend="iceberg")

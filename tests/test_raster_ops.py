@@ -235,6 +235,31 @@ def test_utm_transform_accuracy():
         C._norm_crs("EPSG:32661")  # zone 61 does not exist
 
 
+def test_utm_oracle_kernel_matches_production():
+    """utm_oracle_kernel (exp/log-composed hyperbolics, the DuckDB-twin
+    form) must agree with the production np.sinh/np.arctanh path to
+    nanometers — it is the same series, just built from twin-reproducible
+    libm primitives."""
+    from geospatial_studio_pipelines_spark.geo import crs as C
+
+    rng = np.random.default_rng(1)
+    lon = rng.uniform(-179, 179, 5000)
+    lat = rng.uniform(-60, 60, 5000)
+    zone = np.clip(np.floor((lon + 180) / 6).astype(np.int64) + 1, 1, 60)
+    lon0 = zone * 6.0 - 183.0
+    fn = np.where(lat < 0, 1e7, 0.0)
+    e1, n1 = C.utm_oracle_kernel(lon, lat, lon0, fn)
+    e2, n2 = np.empty_like(e1), np.empty_like(n1)
+    for z in np.unique(zone):
+        for south in (False, True):
+            m = (zone == z) & ((lat < 0) == south)
+            if not m.any():
+                continue
+            crs = f"EPSG:{327 if south else 326}{z:02d}"
+            e2[m], n2[m] = C.lonlat_to_utm(lon[m], lat[m], crs)
+    assert np.abs(e1 - e2).max() < 1e-7 and np.abs(n1 - n2).max() < 1e-7
+
+
 def test_warp_array_utm_linear_oracle():
     """Bilinear warp of f(lon,lat)=3lon+5lat from 4326 onto a UTM grid
     reproduces f at every destination center (bilinear exact on linear

@@ -22,6 +22,7 @@ correctness gate end-to-end coverage of the spatial core.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 

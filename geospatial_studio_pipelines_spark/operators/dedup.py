@@ -165,7 +165,13 @@ def ngram_jaccard_pairs(
         id_a_t = dict(pairs.dtypes)["id_a"]
         id_b_t = dict(pairs.dtypes)["id_b"]
         SHIFT = np.int64(1) << 41
-        CHUNK = 1 << 20  # pair-index bias must stay under 2^63: 2^20·2^41
+        # chunk by gathered-ELEMENT budget, not pair count: each pair
+        # materializes its two sets into the flattened key arrays, so a
+        # fixed pair chunk would blow memory on long documents (measured
+        # multi-GB temporaries at sf0.1). 2M elements ≈ 16 MB per array;
+        # also bounds pairs-per-chunk ≤ 2M+1 < 2^22, so the pair-index bias
+        # idx·2^41 stays strictly under 2^63.
+        CHUNK_ELEMS = 2 << 20
 
         def kernel(batches):
             import pyarrow as pa
@@ -189,8 +195,18 @@ def ngram_jaccard_pairs(
                 pa_ix = np.fromiter((index[x] for x in ia), dtype=np.int64, count=n)
                 pb_ix = np.fromiter((index[x] for x in ib), dtype=np.int64, count=n)
                 jac = np.empty(n, dtype=np.float64)
-                for s0 in range(0, n, CHUNK):
-                    e0 = min(s0 + CHUNK, n)
+                per_pair = counts[pa_ix] + counts[pb_ix]
+                bounds = np.searchsorted(
+                    np.cumsum(per_pair),
+                    np.arange(CHUNK_ELEMS, int(per_pair.sum()) + CHUNK_ELEMS, CHUNK_ELEMS),
+                    side="left",
+                )
+                # trailing n: guarantees the final chunk even when the total
+                # element count is 0 (all-empty sets) or not a CHUNK multiple
+                starts = np.r_[0, np.minimum(bounds + 1, n), n]
+                for s0, e0 in zip(starts[:-1], starts[1:]):
+                    if s0 >= e0:
+                        continue
                     axi, bxi = pa_ix[s0:e0], pb_ix[s0:e0]
                     la, lb = counts[axi], counts[bxi]
                     swap = la > lb  # search the smaller set in the larger

@@ -15,12 +15,13 @@ executors (the property the N→4N efficiency rule measures).
 
 **Strategy B — partitioned** (both sides large). Images and AOIs are each
 exploded to covering hex cells at a common resolution; the join is a plain
-equi-join on ``cell_id`` that Spark shuffles **with an explicit salt** on the
-image side (AOI cells replicated per salt) so a hot cell — one giant AOI or
-a dense region — spreads over ``n_salts`` reducers instead of one straggler
-(SURVEY.md §4 "skew handling": the reference has none; a giant AOI just makes
-one slow task). Exact geometry runs per matched pair, then pairs are
-de-duplicated (a pair can match in several cells).
+equi-join on ``cell_id``. Skew (a hot cell — one giant AOI or a dense
+region) is handled by AQE's runtime skew-join split by default, with an
+explicit image-side salt (AOI cells replicated per salt) available for
+cases beyond AQE's per-partition granularity (SURVEY.md §4 "skew handling":
+the reference has none; a giant AOI just makes one slow task). Exact
+geometry runs per matched boundary pair; PBSM reference-point ownership
+de-duplicates pairs that co-occur in several cells without any shuffle.
 
 Both strategies return the same (image_id, aoi_id) pair set; tests assert
 set-equality against a brute-force oracle.

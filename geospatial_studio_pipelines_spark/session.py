@@ -52,15 +52,15 @@ def spark_session(
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Coalesce toward ~16 MB partitions instead of parallelismFirst's
-        # one-partition-per-core: reduce stages that mix a JVM hash probe
-        # with an Arrow/Python kernel have WORK skew that AQE's byte-based
-        # sizing cannot see (measured: uniform 52 MB partitions, task times
-        # 2.4→6.0 s). One-wave schedules make the slowest task the stage
-        # wall time; finer partitions amortize the spread over waves for
-        # ~20% on the partitioned spatial join at 32 cores, neutral at 8.
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # AQE coalescing stays at Spark defaults (parallelismFirst). A finer
+        # advisoryPartitionSizeInBytes (16m + parallelismFirst=false) is a
+        # PER-JOB lever, not a session default: it buys ~20% on reduce
+        # stages that mix a JVM hash probe with an Arrow/Python kernel
+        # (partitioned spatial join — work skew invisible to byte-based
+        # sizing, one-wave schedules gated on the slowest task), but it
+        # TRIPLES relational pipelines with many small shuffles (measured:
+        # jaccard_near_dups 22s → 60s at sf0.1). Jobs set it via
+        # spark.conf.set(...) before the action — AQE reads it per query.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))

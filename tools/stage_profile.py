@@ -24,6 +24,8 @@ os.makedirs(EVDIR, exist_ok=True)
 spark = spark_session(app_name=f"stageprof-{cores}", master=f"local[{cores}]",
                       shuffle_partitions=int(os.environ.get("SP_SHUF", 2 * cores)),
                       extra_conf={"spark.sql.join.preferSortMergeJoin": "false",
+                                  "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get("SP_ADV", "16m"),
+                                  "spark.sql.adaptive.coalescePartitions.parallelismFirst": os.environ.get("SP_PF", "false"),
                                   "spark.eventLog.enabled": "true",
                                   "spark.eventLog.compress": "false",
                                   "spark.eventLog.rolling.enabled": "false",

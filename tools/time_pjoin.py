@@ -17,8 +17,8 @@ INPUT = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/gsp_scale_input")
 spark = spark_session(app_name=f"time-{cores}", master=f"local[{cores}]",
                       shuffle_partitions=2 * cores,
                       extra_conf={"spark.sql.join.preferSortMergeJoin": "false",
-                                  "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get("SP_ADV", "64m"),
-                                  "spark.sql.adaptive.coalescePartitions.parallelismFirst": os.environ.get("SP_PF", "true")})
+                                  "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get("SP_ADV", "16m"),
+                                  "spark.sql.adaptive.coalescePartitions.parallelismFirst": os.environ.get("SP_PF", "false")})
 meta_dir = os.path.join(INPUT, "images_meta")
 
 

@@ -174,22 +174,29 @@ def lsh_topk(
         missing = still.withColumnRenamed("id_a", id_col).cache()
         n_missing = missing.count()
     if n_missing:
-        # exact fallback for the residual (k > candidates even in n/2^p2-
-        # sized buckets — only near-degenerate k or pathological data)
-        q = missing.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-        allb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-        n_total = vecs.count()
-        row_bytes = 4 * dim + 64
-        if n_total * row_bytes <= EMB_BROADCAST_MAX_BYTES:
-            fb_pairs = q.join(F.broadcast(allb), F.col("id_a") != F.col("id_b"))
-        else:
-            # corpus too big to broadcast: broadcast the residual queries
-            # (bounded: they number ≤ the under-filled count) and stream
-            # the corpus past them — the join stays map-side over the
-            # corpus scan; only the rank shuffles, on id_a
-            fb_pairs = allb.join(F.broadcast(q), F.col("id_a") != F.col("id_b"))
-        out = out.unionByName(_rank_topk(fb_pairs, k))
+        out = out.unionByName(
+            _gated_exact_fallback(missing, vecs, k, dim, id_col, vec_col)
+        )
     return out
+
+
+def _gated_exact_fallback(
+    missing: DataFrame, vecs: DataFrame, k: int, dim: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Exact top-k for residual under-filled queries, never broadcasting a
+    table-sized relation: under ``EMB_BROADCAST_MAX_BYTES`` the corpus is
+    the broadcast build side (fast path); past it the (small) residual
+    query side is broadcast and the corpus streams by — the join stays
+    map-side over the corpus scan; only the rank shuffles, on id_a."""
+    q = missing.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    allb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    n_total = vecs.count()
+    row_bytes = 4 * dim + 64
+    if n_total * row_bytes <= EMB_BROADCAST_MAX_BYTES:
+        fb_pairs = q.join(F.broadcast(allb), F.col("id_a") != F.col("id_b"))
+    else:
+        fb_pairs = allb.join(F.broadcast(q), F.col("id_a") != F.col("id_b"))
+    return _rank_topk(fb_pairs, k)
 
 
 def lsh_near_dup_pairs(
@@ -238,6 +245,124 @@ def lsh_bucket_sql(vec_expr: str, table: int, dim: int = 64, n_planes: int = 6, 
         )
         bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
+
+
+# ------------------------------------------------------------------- IVF
+
+#: cap on the driver-side k-means training sample (rows) — training reads a
+#: deterministic hash-sample of the corpus, never the full table
+IVF_TRAIN_MAX_ROWS = 100_000
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    nlist: int,
+    dim: int,
+    iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """(nlist, dim) float64 coarse-quantizer centroids, L2-normalized
+    (cosine IVF). Deterministic: training rows are a hash-sample of the
+    corpus (``pmod(hash(id), S)=0`` — stable across partitionings), Lloyd
+    iterations run driver-side numpy with seeded init. At 10^12 rows the
+    executors stream only the sample through the collect; the O(n) work —
+    bucket ASSIGNMENT — stays distributed in ``with_ivf_bucket``."""
+    n = emb.count()
+    stride = max(1, n // IVF_TRAIN_MAX_ROWS)
+    sample = emb.select(vec_col).filter(
+        F.pmod(F.hash(F.col(id_col).cast("string")), F.lit(stride)) == 0
+    )
+    mat = np.stack(sample.toPandas()[vec_col].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)]
+    if len(cent) < nlist:  # degenerate tiny corpus: pad with jittered copies
+        extra = cent[rng.integers(0, len(cent), nlist - len(cent))]
+        cent = np.vstack([cent, extra + rng.normal(0, 1e-3, extra.shape)])
+    for _ in range(iters):
+        sims = mat @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(nlist):
+            m = assign == c
+            if m.any():
+                v = mat[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def with_ivf_bucket(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One row per (vector, probed list): ``nprobe=1`` assigns each corpus
+    vector to its nearest centroid; queries use ``nprobe>1`` to search the
+    nprobe nearest inverted lists. One Arrow-batched matmul per batch."""
+    dtypes = dict(emb.dtypes)
+    out_schema = f"{id_col} {dtypes[id_col]}, {vec_col} {dtypes[vec_col]}, list int"
+    bc = emb.sparkSession.sparkContext.broadcast(centroids)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ cent.T
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            reps = top.shape[1]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), reps),
+                    vec_col: np.repeat(pdf[vec_col].to_numpy(), reps),
+                    "list": top.ravel().astype(np.int32),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(assign, out_schema)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    nlist: int = 64,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN top-k (the k-means twin of ``lsh_topk``): corpus
+    vectors land in ONE inverted list each; every query probes its
+    ``nprobe`` nearest lists; candidates rank exactly within the probed
+    lists (per-list local joins — the IVF shape, bucket size ≈ n/nlist).
+    Under-filled queries (< k candidates) take the size-gated exact
+    fallback. Rows identical in shape to brute_force_topk. Beats LSH when
+    the corpus is clustered (centroids adapt to density; hyperplanes
+    don't); recall gated in pytest."""
+    vecs = emb.select(F.col(id_col), F.col(vec_col))
+    cent = ivf_centroids(vecs, nlist, dim, id_col=id_col, vec_col=vec_col)
+    corpus = with_ivf_bucket(vecs, cent, 1, id_col, vec_col)
+    queries = with_ivf_bucket(vecs, cent, nprobe, id_col, vec_col)
+    a = queries.select("list", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select("list", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cand = (
+        a.join(b, "list")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+    )
+    ranked = _rank_topk(cand, k).cache()
+    filled = ranked.groupBy("id_a").count().filter(F.col("count") >= k).select("id_a")
+    out = ranked.join(filled, "id_a", "left_semi")
+    missing = vecs.withColumnRenamed(id_col, "id_a").join(filled, "id_a", "left_anti")
+    missing = missing.withColumnRenamed("id_a", id_col)
+    if missing.count():
+        out = out.unionByName(_gated_exact_fallback(missing, vecs, k, dim, id_col, vec_col))
+    return out
 
 
 def recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int) -> float:

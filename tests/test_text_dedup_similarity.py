@@ -144,6 +144,39 @@ def test_lsh_topk_recall(emb):
     assert rec >= 0.6, rec
 
 
+def test_ivf_topk_recall_and_exactly_k(emb):
+    """IVF ANN (k-means coarse quantizer): exactly-k per query via the
+    gated fallback, and recall that beats LSH's floor on the same
+    near-random embeddings — centroids adapt to the data distribution."""
+    k = 5
+    exact = similarity.brute_force_topk(emb, k=k)
+    approx = similarity.ivf_topk(emb, k=k, dim=64, nlist=16, nprobe=4)
+    counts = approx.groupBy("id_a").count().toPandas()
+    assert (counts["count"] == k).all()
+    rec = similarity.recall_vs_exact(approx, exact, k)
+    assert rec >= 0.6, rec
+
+
+def test_ivf_topk_clustered_high_recall(spark):
+    """On CLUSTERED vectors (the regime IVF exists for) recall must be near
+    1: queries probe the lists their cluster occupies."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 32)) * 3.0
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        rows.append((i, (c + rng.standard_normal(32) * 0.15).astype("float32").tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    k = 5
+    exact = similarity.brute_force_topk(df, k=k)
+    approx = similarity.ivf_topk(df, k=k, dim=32, nlist=16, nprobe=3)
+    rec = similarity.recall_vs_exact(approx, exact, k)
+    assert rec >= 0.95, rec
+    # determinism: same seed → identical result set
+    again = similarity.ivf_topk(df, k=k, dim=32, nlist=16, nprobe=3)
+    assert {tuple(r) for r in approx.collect()} == {tuple(r) for r in again.collect()}
+
+
 def test_embedding_near_dups_threshold(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),

@@ -63,6 +63,47 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str, query_name: str
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
 
 
+def dedup_stream(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    event_time_col: str | None = None,
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Streaming exact dedup (the LLM-ingest front gate as a stream): md5
+    fingerprint + ``dropDuplicates`` keyed on it — state carries ONE row per
+    distinct document across micro-batches, so a re-delivered object (the
+    at-least-once file/queue source contract) emits exactly once.
+
+    With ``event_time_col`` set, uses ``dropDuplicatesWithinWatermark`` so
+    state ages out past the watermark — the 10^12-scale mode (unbounded
+    dedup state is a driver OOM by schedule; bounded-window dedup + a
+    periodic batch `exact_duplicates` sweep is the standard split).
+    """
+    out = docs_stream.withColumn(
+        "fp", F.substring(F.md5(F.col(text_col)), 1, 16)
+    )
+    if event_time_col:
+        return out.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(["fp"])
+    return out.dropDuplicates(["fp"])
+
+
+def run_available_now_append(
+    stream_df: DataFrame, checkpoint_dir: str, query_name: str = "out"
+) -> DataFrame:
+    """availableNow runner for APPEND-mode streams (dedup, joins — anything
+    non-aggregating); ``run_available_now`` covers complete-mode aggs."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
 def tile_join_stream(
     spark: SparkSession,
     images_dir: str,

@@ -137,3 +137,33 @@ def test_streaming_tile_join_matches_batch(spark, tmp_path):
     batch = spatial_join.broadcast_spatial_join(footprints.with_footprint(imgs), aois)
     exp = {(r.image_id, r.aoi_id) for r in batch.collect()}
     assert got == exp and len(exp) > 0
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """dedup_stream emits each distinct document exactly once even when
+    duplicates arrive in DIFFERENT micro-batches (state spans triggers) —
+    the at-least-once redelivery case batch dedup can't model."""
+    import pandas as pd
+
+    src = str(tmp_path / "docs")
+    texts = [f"document body number {i}" for i in range(30)]
+    # three files: file2 and file3 re-deliver half of the previous file
+    chunks = [texts[:15], texts[10:25], texts[20:30] + texts[:5]]
+    for i, chunk in enumerate(chunks):
+        pdf = pd.DataFrame(
+            {"doc_id": range(i * 100, i * 100 + len(chunk)), "text": chunk}
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(src)
+    )
+    out = stream_events.run_available_now_append(
+        stream_events.dedup_stream(stream), str(tmp_path / "ckpt"), "dedup_out"
+    ).collect()
+    got_texts = [r.text for r in out]
+    assert sorted(got_texts) == sorted(texts)  # every distinct doc exactly once
+    assert len(out) == 30  # 15+15+15 arrived, 15 cross-batch dupes dropped

@@ -642,7 +642,12 @@ def q_jaccard_near_dups(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 9).alias("jaccard")).orderBy("id_a", "id_b")
 
 
-def _jaccard_sql() -> str:
+def _jaccard_pairs_ctes(base: str) -> str:
+    """CTE chain (s → bands → cand → sets → pairs) computing MinHash-LSH
+    candidate pairs + exact n-gram Jaccard over relation ``base(doc_id,
+    text)`` — the parameterized twin of ``dedup.ngram_jaccard_pairs``.
+    Band keys are NULL for sub-SHINGLE_K docs, so they never equi-join
+    (the same exclusion Spark applies by filtering null signatures)."""
     from .functions.text import shingle_hashes_sql
 
     sh = shingle_hashes_sql("text")
@@ -657,25 +662,30 @@ def _jaccard_sql() -> str:
         sep = " || ':' || "
         bands.append(f"SELECT doc_id, {b} AS band, {sep.join(keys)} AS band_key FROM s")
     band_union = " UNION ALL ".join(bands)
-    return f"""
-WITH base AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 30
-), s AS (
-  SELECT doc_id, {sh} AS sh FROM base
+    return f"""s AS (
+  SELECT doc_id, {sh} AS sh FROM {base}
 ), bands AS ({band_union}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ), sets AS (
   SELECT doc_id, list_distinct(sh) AS dsh FROM s
-)
-SELECT id_a, id_b, round(jac, 9) AS jaccard FROM (
+), pairs AS (
   SELECT id_a, id_b,
          CAST(length(list_intersect(x.dsh, y.dsh)) AS DOUBLE) /
          CAST(length(list_distinct(list_concat(x.dsh, y.dsh))) AS DOUBLE) AS jac
   FROM cand JOIN sets x ON cand.id_a = x.doc_id JOIN sets y ON cand.id_b = y.doc_id
-) WHERE jac >= 0.3 ORDER BY id_a, id_b
+)"""
+
+
+def _jaccard_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 30
+), {_jaccard_pairs_ctes("base")}
+SELECT id_a, id_b, round(jac, 9) AS jaccard FROM pairs
+WHERE jac >= 0.3 ORDER BY id_a, id_b
 """
 
 
@@ -977,6 +987,59 @@ FROM z ORDER BY id
 Q_UTM_FOOTPRINTS_SQL = _utm_footprints_sql()
 
 
+def q_corpus_clean(spark, sf_dir):
+    """The end-to-end training-data cleaning pipeline as ONE oracle-gated
+    query: quality gate → language ID → exact dedup (keep min doc_id per
+    md5 fingerprint) → MinHash-LSH near-dup drop (jaccard ≥ 0.5, the
+    HIGHER id of each pair dropped — a deterministic one-pass policy, not
+    a transitive closure; documented contract, mirrored in SQL). Returns
+    the surviving corpus with its quality/language metadata."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "text",
+        T.lang_id(F.col("text")).alias("lang_id"),
+        T.quality_score(F.col("text")).alias("quality"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    ).filter(F.col("quality") >= 0.6)
+    keepers = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    uniq = scored.join(keepers, "doc_id", "left_semi")
+    pairs = dedup.ngram_jaccard_pairs(uniq.select("doc_id", "text"), threshold=0.5)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        uniq.join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "lang_id", "quality")
+        .orderBy("doc_id")
+    )
+
+
+def _corpus_clean_sql() -> str:
+    lang = T.lang_id_sql("text")
+    quality = T.quality_score_sql("text")
+    fp = T.fingerprint_sql("text")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text, {lang} AS lang_id, {quality} AS quality, {fp} AS fp
+  FROM documents
+), kept AS (
+  SELECT * FROM scored WHERE quality >= 0.6
+), keepers AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY fp
+), uniq AS (
+  SELECT k.* FROM kept k JOIN keepers USING (doc_id)
+), {_jaccard_pairs_ctes("uniq")},
+dropped AS (
+  SELECT DISTINCT id_b AS doc_id FROM pairs WHERE jac >= 0.5
+)
+SELECT doc_id, lang_id, quality FROM uniq u
+WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = u.doc_id)
+ORDER BY doc_id
+"""
+
+
+Q_CORPUS_CLEAN_SQL = _corpus_clean_sql()
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, Q_PRICING_SUMMARY_SQL),
     "top_revenue_orders": (q_top_revenue_orders, Q_TOP_REVENUE_ORDERS_SQL),
@@ -1007,6 +1070,7 @@ QUERIES = {
     "embedding_near_dups_lsh": (q_embedding_near_dups_lsh, Q_EMBEDDING_NEAR_DUPS_LSH_SQL),
     "event_props_json": (q_event_props_json, Q_EVENT_PROPS_JSON_SQL),
     "utm_footprints": (q_utm_footprints, Q_UTM_FOOTPRINTS_SQL),
+    "corpus_clean": (q_corpus_clean, Q_CORPUS_CLEAN_SQL),
 }
 
 

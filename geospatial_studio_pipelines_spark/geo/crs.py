@@ -77,7 +77,9 @@ _DELTA = (
 _K0_UTM = 0.9996
 _UTM_FE = 500000.0
 _UTM_FN_SOUTH = 10000000.0
-_E2SN = 2.0 * np.sqrt(_N3) / (1.0 + _N3)
+# float() so {_E2SN!r} interpolations emit a plain double literal (NumPy 2.x
+# repr of np.float64 is 'np.float64(…)' — syntactically invalid SQL)
+_E2SN = float(2.0 * np.sqrt(_N3) / (1.0 + _N3))
 
 
 def _utm_zone(norm: str) -> tuple[float, float]:

@@ -34,18 +34,30 @@ from ..codecs.image import decode_image
 FETCH_MAX_BYTES = 1 << 30
 
 
+#: schemes a URL table may fetch by default. The table is DATA, not config —
+#: a poisoned row must not be able to read executor-local files (file://) or
+#: probe internal endpoints through exotic handlers; disallowed schemes
+#: quarantine as ok=false rows. Pass schemes=("file",) explicitly for
+#: offline/local-fixture ingest.
+FETCH_ALLOWED_SCHEMES = ("http", "https")
+
+
 def fetch_urls(
     urls: DataFrame,
     url_col: str = "url",
     timeout_s: float = 30.0,
     max_bytes: int = FETCH_MAX_BYTES,
+    schemes: tuple[str, ...] = FETCH_ALLOWED_SCHEMES,
 ) -> DataFrame:
     """(… , url) → (…, bytes, ok, err): distributed URL fetch with per-row
-    error capture. Keeps every input column (pass-through schema)."""
+    error capture. Keeps every input column (pass-through schema). URLs whose
+    scheme is not in ``schemes`` quarantine (SSRF/local-read guard)."""
     in_schema = ", ".join(f"{c} {t}" for c, t in urls.dtypes)
     out_schema = in_schema + ", bytes binary, ok boolean, err string"
+    allowed = tuple(s.lower() for s in schemes)
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.parse import urlsplit
         from urllib.request import urlopen
 
         for pdf in batches:
@@ -54,6 +66,11 @@ def fetch_urls(
             blobs, oks, errs = [], [], []
             for u in pdf[url_col]:
                 try:
+                    scheme = urlsplit(u).scheme.lower()
+                    if scheme not in allowed:
+                        raise ValueError(
+                            f"scheme {scheme!r} not in allowlist {allowed}"
+                        )
                     with urlopen(u, timeout=timeout_s) as r:
                         data = r.read(max_bytes + 1)
                     if len(data) > max_bytes:

@@ -78,10 +78,13 @@ def dedup_stream(
     state ages out past the watermark — the 10^12-scale mode (unbounded
     dedup state is a driver OOM by schedule; bounded-window dedup + a
     periodic batch `exact_duplicates` sweep is the standard split).
+
+    The state key is the FULL 128-bit md5: a 64-bit truncation at 10^12
+    docs expects ~10^4 birthday collisions, each silently dropping a
+    distinct document; the full digest makes the collision rate ~n²/2^129
+    (≪ 1 at any feasible corpus) for 16 extra bytes of state per row.
     """
-    out = docs_stream.withColumn(
-        "fp", F.substring(F.md5(F.col(text_col)), 1, 16)
-    )
+    out = docs_stream.withColumn("fp", F.md5(F.col(text_col)))
     if event_time_col:
         return out.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(["fp"])
     return out.dropDuplicates(["fp"])

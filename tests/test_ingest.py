@@ -21,11 +21,28 @@ def test_fetch_urls_file_scheme_and_quarantine(spark, tmp_path):
          ("c", f"file://{tmp_path}/missing.bin")],
         "obj_id string, url string",
     )
-    got = {r.obj_id: r for r in ingest.fetch_urls(urls, max_bytes=512).collect()}
+    got = {
+        r.obj_id: r
+        for r in ingest.fetch_urls(urls, max_bytes=512, schemes=("file",)).collect()
+    }
     assert got["a"].ok and bytes(got["a"].bytes) == b"payload-1" and got["a"].err is None
     assert not got["b"].ok and "exceeds" in got["b"].err  # oversize quarantined
     assert not got["c"].ok and got["c"].bytes is None  # missing quarantined
     assert got["c"].err  # reason captured, stage did not fail
+
+
+def test_fetch_urls_scheme_allowlist_default_blocks_file(spark, tmp_path):
+    """A poisoned URL table cannot read executor-local files: file:// (and
+    any non-http(s) scheme) quarantines unless explicitly opted in."""
+    secret = tmp_path / "secret.txt"
+    secret.write_bytes(b"do-not-exfiltrate")
+    urls = spark.createDataFrame(
+        [("f", f"file://{secret}"), ("g", "gopher://evil.internal/x")],
+        "obj_id string, url string",
+    )
+    got = {r.obj_id: r for r in ingest.fetch_urls(urls).collect()}
+    assert not got["f"].ok and got["f"].bytes is None and "allowlist" in got["f"].err
+    assert not got["g"].ok and "allowlist" in got["g"].err
 
 
 def test_read_binary_dir_probes_dims_and_flags_garbage(spark, tmp_path):

@@ -987,13 +987,9 @@ FROM z ORDER BY id
 Q_UTM_FOOTPRINTS_SQL = _utm_footprints_sql()
 
 
-def q_corpus_clean(spark, sf_dir):
-    """The end-to-end training-data cleaning pipeline as ONE oracle-gated
-    query: quality gate → language ID → exact dedup (keep min doc_id per
-    md5 fingerprint) → MinHash-LSH near-dup drop (jaccard ≥ 0.5, the
-    HIGHER id of each pair dropped — a deterministic one-pass policy, not
-    a transitive closure; documented contract, mirrored in SQL). Returns
-    the surviving corpus with its quality/language metadata."""
+def _corpus_uniq(spark, sf_dir):
+    """Shared head of the cleaning pipeline: quality gate → language ID →
+    exact dedup (keep min doc_id per md5 fingerprint)."""
     d = load(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
@@ -1003,9 +999,39 @@ def q_corpus_clean(spark, sf_dir):
         T.fingerprint(F.col("text")).alias("fp"),
     ).filter(F.col("quality") >= 0.6)
     keepers = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-    uniq = scored.join(keepers, "doc_id", "left_semi")
+    return scored.join(keepers, "doc_id", "left_semi")
+
+
+def q_corpus_clean(spark, sf_dir):
+    """The end-to-end training-data cleaning pipeline as ONE oracle-gated
+    query: quality gate → language ID → exact dedup (keep min doc_id per
+    md5 fingerprint) → MinHash-LSH near-dup drop (jaccard ≥ 0.5, the
+    HIGHER id of each pair dropped — a deterministic one-pass policy, not
+    a transitive closure; documented contract, mirrored in SQL; see
+    ``q_corpus_clean_cc`` for the components policy). Returns the
+    surviving corpus with its quality/language metadata."""
+    uniq = _corpus_uniq(spark, sf_dir)
     pairs = dedup.ngram_jaccard_pairs(uniq.select("doc_id", "text"), threshold=0.5)
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        uniq.join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "lang_id", "quality")
+        .orderBy("doc_id")
+    )
+
+
+def q_corpus_clean_cc(spark, sf_dir):
+    """``corpus_clean`` with the CONNECTED-COMPONENTS near-dup policy (the
+    standard transitive-closure keeper selection at scale): union-find over
+    the ≥0.5-jaccard pair graph, keep the MIN doc_id per component — A~B,
+    B~C drops B and C in favor of A even though A and C were never paired
+    (the one-pass policy keeps no guarantee about chains). Distributed
+    min-label propagation (``dedup.connected_components``); oracled in
+    DuckDB by a recursive-CTE reachability fixpoint."""
+    uniq = _corpus_uniq(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(uniq.select("doc_id", "text"), threshold=0.5)
+    cc = dedup.connected_components(pairs)
+    dropped = cc.filter(F.col("component") != F.col("doc_id")).select("doc_id")
     return (
         uniq.join(dropped, "doc_id", "left_anti")
         .select("doc_id", "lang_id", "quality")
@@ -1040,6 +1066,49 @@ ORDER BY doc_id
 Q_CORPUS_CLEAN_SQL = _corpus_clean_sql()
 
 
+def _corpus_clean_cc_sql() -> str:
+    """Components-policy twin: the same pipeline head, then a recursive-CTE
+    min-reachable-label fixpoint over the symmetric ≥0.5 pair graph — a
+    node's component is min(labels reachable from it), identical to the
+    engine's min-label propagation fixpoint; survivors are docs that ARE
+    their component's min (plus isolated docs, which never enter the
+    graph)."""
+    lang = T.lang_id_sql("text")
+    quality = T.quality_score_sql("text")
+    fp = T.fingerprint_sql("text")
+    return f"""
+WITH RECURSIVE scored AS (
+  SELECT doc_id, text, {lang} AS lang_id, {quality} AS quality, {fp} AS fp
+  FROM documents
+), kept AS (
+  SELECT * FROM scored WHERE quality >= 0.6
+), keepers AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY fp
+), uniq AS (
+  SELECT k.* FROM kept k JOIN keepers USING (doc_id)
+), {_jaccard_pairs_ctes("uniq")},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE jac >= 0.5
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs WHERE jac >= 0.5
+), reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src
+), comp AS (
+  SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node
+), dropped AS (
+  SELECT doc_id FROM comp WHERE component <> doc_id
+)
+SELECT doc_id, lang_id, quality FROM uniq u
+WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.doc_id = u.doc_id)
+ORDER BY doc_id
+"""
+
+
+Q_CORPUS_CLEAN_CC_SQL = _corpus_clean_cc_sql()
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, Q_PRICING_SUMMARY_SQL),
     "top_revenue_orders": (q_top_revenue_orders, Q_TOP_REVENUE_ORDERS_SQL),
@@ -1071,6 +1140,7 @@ QUERIES = {
     "event_props_json": (q_event_props_json, Q_EVENT_PROPS_JSON_SQL),
     "utm_footprints": (q_utm_footprints, Q_UTM_FOOTPRINTS_SQL),
     "corpus_clean": (q_corpus_clean, Q_CORPUS_CLEAN_SQL),
+    "corpus_clean_cc": (q_corpus_clean_cc, Q_CORPUS_CLEAN_CC_SQL),
 }
 
 

@@ -361,3 +361,66 @@ def cosine_expr(a: str, b: str) -> Column:
         )
     )
     return dot / (na * nb)
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components of the near-dup pair graph → one row per node
+    ``(doc_id, component)`` where ``component`` is the MIN node id in the
+    component — exactly the transitive-closure keeper-selection semantics
+    standard in training-data dedup (keep min id per component; A~B, B~C
+    must drop B AND C in favor of A even though A,C were never paired).
+
+    Distributed min-label propagation: labels start as the node's own id and
+    each round every node takes the min of its own and its neighbors'
+    labels; a fixpoint is reached after O(diameter) rounds (near-dup
+    components are shallow — chains of near-identical docs). Each round is
+    ONE shuffle (edge⋈label + groupBy-min), lineage truncated per round via
+    eager localCheckpoint so the plan doesn't grow with iterations. For
+    pathological high-diameter graphs the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce") drops
+    rounds to O(log n); near-dup graphs don't need it.
+
+    Only nodes that appear in ``pairs`` are returned — isolated docs are
+    their own keeper by definition and never enter the graph (at 10^12 docs
+    the pair graph is ≪ the corpus; joining the full corpus through CC
+    would be a needless full-table shuffle).
+    """
+    # symmetric edge list; labels seeded with each node's own id
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(neigh, labels.node == neigh.dst, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+    raise RuntimeError(f"connected_components: no fixpoint after {max_iter} rounds")

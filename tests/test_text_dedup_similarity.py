@@ -364,3 +364,29 @@ def test_ivf_train_sample_hard_caps(spark, emb, monkeypatch):
     monkeypatch.setattr(similarity, "IVF_TRAIN_MAX_BYTES", 100)  # < one row
     with pytest.raises(ValueError, match="collect gate"):
         similarity._ivf_train_sample(e, dim=64)
+
+
+def test_connected_components_chains_and_stars(spark):
+    """Min-label propagation fixpoint: a star (1-3, 2-3) merges into ONE
+    component labeled 1 (where the one-pass higher-id drop would keep both
+    1 and 2), and a 4-chain needs the label to travel 3 hops."""
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3), (20, 21), (21, 22), (22, 23)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 20: 20, 21: 20, 22: 20, 23: 20}
+    # the policies genuinely differ on the star: one-pass (drop id_b per
+    # pair) keeps {1, 2}; components (keep min per component) keeps {1}
+    one_pass_dropped = {3}
+    cc_dropped = {n for n, c in got.items() if c != n}
+    assert 2 in cc_dropped and 2 not in one_pass_dropped
+
+
+def test_connected_components_iteration_guard(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(6)], "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        dedup.connected_components(pairs, max_iter=1)
+    got = {r.doc_id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert set(got.values()) == {0} and len(got) == 7

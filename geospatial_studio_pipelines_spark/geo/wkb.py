@@ -21,11 +21,25 @@ import numpy as np
 POINT = 1
 LINESTRING = 2
 POLYGON = 3
+MULTILINESTRING = 5
 MULTIPOLYGON = 6
 
 
 def dumps_point(x: float, y: float) -> bytes:
     return struct.pack("<BIdd", 1, POINT, x, y)
+
+
+def dumps_linestring(pts: np.ndarray) -> bytes:
+    """pts: (N,2) float64 array."""
+    pts = np.asarray(pts, dtype=np.float64)
+    return struct.pack("<BII", 1, LINESTRING, len(pts)) + pts.astype("<f8").tobytes()
+
+
+def dumps_multilinestring(parts: list[np.ndarray]) -> bytes:
+    out = [struct.pack("<BII", 1, MULTILINESTRING, len(parts))]
+    for pts in parts:
+        out.append(dumps_linestring(pts))
+    return b"".join(out)
 
 
 def dumps_polygon(rings: list[np.ndarray]) -> bytes:
@@ -66,6 +80,17 @@ def loads(buf: bytes):
     if geom_type == LINESTRING:
         pts, _ = _read_ring(buf, off)
         return LINESTRING, pts
+    if geom_type == MULTILINESTRING:
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        parts = []
+        for _ in range(n):
+            gt, off2 = _header(buf, off)
+            if gt != LINESTRING:
+                raise ValueError(f"multilinestring member type {gt}")
+            pts, off = _read_ring(buf, off2)
+            parts.append(pts)
+        return MULTILINESTRING, parts
     if geom_type == POLYGON:
         rings, _ = _read_polygon_body(buf, off)
         return POLYGON, rings
@@ -103,6 +128,14 @@ def envelope(buf: bytes) -> tuple[float, float, float, float]:
     if gt == LINESTRING:
         pts = payload
         return pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()
+    if gt == MULTILINESTRING:
+        allpts = np.vstack(payload)
+        return (
+            float(allpts[:, 0].min()),
+            float(allpts[:, 1].min()),
+            float(allpts[:, 0].max()),
+            float(allpts[:, 1].max()),
+        )
     rings = payload if gt == POLYGON else [r for rs in payload for r in rs]
     allpts = np.vstack(rings)
     return (

@@ -89,3 +89,128 @@ def test_shapefile_feeds_spatial_join(spark, tmp_path):
 def test_parse_shp_rejects_garbage():
     with pytest.raises(ValueError, match="bad file code"):
         SHP.parse_shp(b"\x00" * 200)
+
+
+def test_point_shapefile_roundtrip(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "geom_wkb": [W.dumps_point(1.5, 2.5), W.dumps_point(-3.0, 4.0)],
+            "name": ["a", "b"],
+        }
+    )
+    stem = str(tmp_path / "pts")
+    SHP.write_shapefile(pdf, stem)
+    got = SHP.read_shapefile(spark, stem + ".shp").orderBy("minx").collect()
+    assert len(got) == 2
+    gt, xy = W.loads(bytes(got[0].geom_wkb))
+    assert gt == W.POINT and xy == (-3.0, 4.0)
+    assert (got[0].minx, got[0].miny, got[0].maxx, got[0].maxy) == (-3.0, 4.0, -3.0, 4.0)
+    assert [r.name for r in got] == ["b", "a"]
+
+
+def test_polyline_shapefile_roundtrip_single_and_multipart(spark, tmp_path):
+    seg1 = np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 0.0]])
+    seg2 = np.array([[5.0, 5.0], [6.0, 7.0]])
+    pdf = pd.DataFrame(
+        {
+            "geom_wkb": [W.dumps_linestring(seg1), W.dumps_multilinestring([seg1, seg2])],
+            "name": ["line", "multi"],
+        }
+    )
+    stem = str(tmp_path / "lines")
+    SHP.write_shapefile(pdf, stem)
+    got = {r.name: r for r in SHP.read_shapefile(spark, stem + ".shp").collect()}
+    gt, pts = W.loads(bytes(got["line"].geom_wkb))
+    assert gt == W.LINESTRING and np.allclose(pts, seg1)
+    gt, parts = W.loads(bytes(got["multi"].geom_wkb))
+    assert gt == W.MULTILINESTRING and len(parts) == 2
+    assert np.allclose(parts[0], seg1) and np.allclose(parts[1], seg2)
+    assert (got["multi"].maxx, got["multi"].maxy) == (6.0, 7.0)
+
+
+def test_null_record_does_not_shift_attributes(spark, tmp_path):
+    """r3 ADVICE (medium): a Null shape mid-file must not assign every later
+    record the previous record's attributes."""
+    tri = np.array([[10.0, 10.0], [12.0, 10.0], [11.0, 12.5], [10.0, 10.0]])
+    sq = np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]])
+    pdf = pd.DataFrame(
+        {
+            "geom_wkb": [W.dumps_polygon([tri]), None, W.dumps_polygon([sq])],
+            "name": ["first", "nullrec", "third"],
+        }
+    )
+    stem = str(tmp_path / "withnull")
+    SHP.write_shapefile(pdf, stem)
+    got = {r.name: r for r in SHP.read_shapefile(spark, stem + ".shp").collect()}
+    # Null record itself is dropped from output; attrs stay aligned
+    assert set(got) == {"first", "third"}
+    assert got["third"].minx == 0.0 and got["first"].minx == 10.0
+
+
+def test_deleted_dbf_row_does_not_shift_attributes(spark, tmp_path):
+    """A deleted-flag .dbf row paired with a Null .shp record keeps later
+    records aligned (deleted rows are placeholders, not skipped)."""
+    tri = np.array([[10.0, 10.0], [12.0, 10.0], [11.0, 12.5], [10.0, 10.0]])
+    pdf = pd.DataFrame(
+        {
+            "geom_wkb": [W.dumps_point(0.0, 0.0), None, W.dumps_polygon([tri])],
+            "name": ["first", "gone", "third"],
+        }
+    )
+    # point + polygon can't share a file: use point, null, point instead
+    pdf["geom_wkb"] = [W.dumps_point(0.0, 0.0), None, W.dumps_point(9.0, 9.0)]
+    stem = str(tmp_path / "deleted")
+    SHP.write_shapefile(pdf, stem)
+    # flip record 1's deletion flag in the .dbf (fixed-width records)
+    buf = bytearray(open(stem + ".dbf", "rb").read())
+    import struct as _s
+
+    hdr_size, rec_size = _s.unpack("<HH", buf[8:12])
+    buf[hdr_size + rec_size] = ord("*")
+    open(stem + ".dbf", "wb").write(bytes(buf))
+    got = {r.name: r for r in SHP.read_shapefile(spark, stem + ".shp").collect()}
+    assert set(got) == {"first", "third"}
+    assert got["third"].minx == 9.0
+
+
+def test_record_count_mismatch_fails_loudly(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {"geom_wkb": [W.dumps_point(0.0, 0.0), W.dumps_point(1.0, 1.0)], "name": ["a", "b"]}
+    )
+    stem = str(tmp_path / "mismatch")
+    SHP.write_shapefile(pdf, stem)
+    # truncate the .dbf to one record: positional zip would silently misalign
+    buf = bytearray(open(stem + ".dbf", "rb").read())
+    import struct as _s
+
+    hdr_size, rec_size = _s.unpack("<HH", buf[8:12])
+    buf[4:8] = _s.pack("<I", 1)
+    open(stem + ".dbf", "wb").write(bytes(buf[: hdr_size + rec_size]) + b"\x1a")
+    with pytest.raises(Exception, match="record-count mismatch"):
+        SHP.read_shapefile(spark, stem + ".shp").collect()
+
+
+def test_shapefile_zip_completeness_gate(tmp_path):
+    """The reference's upload gate (user_store_download_operations.py:68-72):
+    .shp/.shx/.dbf must all be present per stem."""
+    ok, missing = SHP.shapefile_zip_complete(["a.shp", "a.shx", "a.dbf", "readme.txt"])
+    assert ok and not missing
+    ok, missing = SHP.shapefile_zip_complete(["a.shp", "a.dbf"])
+    assert not ok and missing == {"a": [".shx"]}
+    ok, missing = SHP.shapefile_zip_complete(["b.txt"])
+    assert not ok  # no .shp at all is not a shapefile upload
+    # the engine's own writer output passes the gate
+    pdf = pd.DataFrame({"geom_wkb": [W.dumps_point(0.0, 0.0)], "name": ["a"]})
+    SHP.write_shapefile(pdf, str(tmp_path / "w"))
+    names = [p.name for p in tmp_path.iterdir()]
+    ok, missing = SHP.shapefile_zip_complete(names)
+    assert ok, (names, missing)
+
+
+def test_mixed_shape_types_rejected(tmp_path):
+    tri = np.array([[0.0, 0.0], [1.0, 0.0], [0.5, 1.0], [0.0, 0.0]])
+    pdf = pd.DataFrame(
+        {"geom_wkb": [W.dumps_point(0.0, 0.0), W.dumps_polygon([tri])], "name": ["p", "g"]}
+    )
+    with pytest.raises(ValueError, match="mixed shape types"):
+        SHP.write_shapefile(pdf, str(tmp_path / "mixed"))

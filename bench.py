@@ -14,6 +14,10 @@ Queries (the BASELINE.md bench plan):
   B8 ingest_validate      — binaryFile scan of encoded image objects →
                             header probe/decode → format-validity rollup
                             (the r3 ingest sources, previously untimed)
+  B9 phash_near_dups      — hamming near-dup pairs over 4M image perceptual
+                            hashes (the north-rule phash:int64 column):
+                            Manku banding equi-join + bit_count(xor) verify,
+                            pure codegen (no Python stage at all)
 
 Isolation (r3 judge directive #1): every query runs in its OWN subprocess
 with a fresh JVM — the r3 driver bench shared one JVM across the suite,
@@ -51,7 +55,9 @@ QUERY_NAMES = [
     "minhash_near_dups",
     "ann_topk",
     "ingest_validate",
+    "phash_near_dups",
 ]
+N_PHASH = int(os.environ.get("SPARK_GRAFT_BENCH_PHASH_ROWS", "4000000"))
 
 
 def _materialize(df):
@@ -120,6 +126,26 @@ def run_one(spark, name: str) -> float:
             return df.groupBy("fmt").agg(
                 F.count("*").alias("n"),
                 F.sum((F.col("w") > 0).cast("long")).alias("n_valid"),
+            )
+    elif name == "phash_near_dups":
+        from geospatial_studio_pipelines_spark.operators import dedup
+
+        # synthetic phash table, pure codegen (Knuth multiplicative hash of
+        # the id, plus a planted near-dup per 64th row: the NEXT row's hash
+        # with one bit flipped — so the verify stage has real survivors)
+        def base_of(c):
+            return F.pmod(c * F.lit(2654435761), F.lit(2**62)).cast("long")
+
+        ph = spark.range(0, N_PHASH, numPartitions=64).select(
+            F.col("id").alias("image_id"),
+            F.when(
+                F.col("id") % 64 == 0, base_of(F.col("id") + 1).bitwiseXOR(F.lit(1))
+            ).otherwise(base_of(F.col("id"))).alias("phash"),
+        ).localCheckpoint(eager=True)  # untimed: input generation
+
+        def build():
+            return dedup.hamming_near_dups(
+                ph, "phash", id_col="image_id", bits=62, max_hamming=3
             )
     else:
         fn = {

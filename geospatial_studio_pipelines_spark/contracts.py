@@ -632,6 +632,16 @@ def q_simhash(spark, sf_dir):
 Q_SIMHASH_SQL = f"SELECT doc_id, {dedup.simhash_sql('text')} AS simhash FROM documents ORDER BY doc_id"
 
 
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash hamming near-dup pairs (Manku multi-index banding + popcount
+    verify — lossless at hamming ≤ bands-1, fully codegen)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.simhash_near_dups(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
+Q_SIMHASH_NEAR_DUPS_SQL = dedup.simhash_near_dups_sql(3)
+
+
 def q_jaccard_near_dups(spark, sf_dir):
     """MinHash-LSH candidates → exact n-gram Jaccard ≥ 0.3 (shingle→minhash→
     band→bucket-join, then verify — the full near-dup pipeline)."""
@@ -1131,6 +1141,7 @@ QUERIES = {
     "exact_dups": (q_exact_dups, Q_EXACT_DUPS_SQL),
     "minhash_signatures": (q_minhash_signatures, Q_MINHASH_SIGNATURES_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
+    "simhash_near_dups": (q_simhash_near_dups, Q_SIMHASH_NEAR_DUPS_SQL),
     "jaccard_near_dups": (q_jaccard_near_dups, Q_JACCARD_NEAR_DUPS_SQL),
     "ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
     "embedding_label_centroids": (q_embedding_label_centroid_sim, Q_EMBEDDING_LABEL_CENTROID_SIM_SQL),

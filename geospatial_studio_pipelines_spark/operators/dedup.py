@@ -424,3 +424,117 @@ def connected_components(
         if changed == 0:
             return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
     raise RuntimeError(f"connected_components: no fixpoint after {max_iter} rounds")
+
+
+#: bands for SimHash hamming near-dup (Manku et al., WWW'07 "Detecting
+#: Near-Duplicates for Web Crawling"): any pair with hamming distance
+#: < SIMHASH_NEAR_BANDS shares at least one band key (pigeonhole), so
+#: recall is EXACTLY 1.0 at max_hamming = bands - 1 — unlike MinHash-LSH
+#: this multi-index is lossless at its design radius.
+SIMHASH_NEAR_BANDS = 4
+
+
+def hamming_near_dups(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Hamming near-duplicate pairs over ANY int64 hash column (SimHash
+    signatures, image perceptual hashes — the north-rule image table
+    carries ``phash:int64`` exactly for this) → (id_a, id_b, hamming).
+    Fully codegen: band keys = shift/mask, candidates = ONE shuffle
+    (equi-join on (band, key)), verification = ``bit_count(xor)`` — no
+    Python anywhere.
+
+    ``max_hamming`` defaults to ``bands - 1``, the Manku pigeonhole radius:
+    any pair with hamming < bands shares at least one band key, so recall
+    is EXACTLY 1.0 there (unlike MinHash-LSH this multi-index is lossless
+    at its design radius). Expected bucket size is n / 2^(bits/bands) per
+    band: 64-bit hashes with 4 bands give 16-bit keys — selective to ~10^9
+    rows; at 10^12 widen keys (more bits, or fewer/wider bands via Manku's
+    permuted tables) so the per-bucket pair work stays local. The plan
+    shape (band equi-join + popcount verify) is unchanged at any scale."""
+    if max_hamming is None:
+        max_hamming = bands - 1
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming {max_hamming} breaks the pigeonhole guarantee of "
+            f"{bands} bands (must be < bands)"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = df.select(F.col(id_col), F.col(hash_col).alias("sh"))
+    banded = sig.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sh"), b * width).bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "sh", "bk.band", "bk.key")
+    a = banded.select(
+        F.col("band"), F.col("key"), F.col(id_col).alias("id_a"), F.col("sh").alias("sha")
+    )
+    b = banded.select(
+        F.col("band"), F.col("key"), F.col(id_col).alias("id_b"), F.col("sh").alias("shb")
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_NEAR_BANDS - 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash hamming near-duplicate pairs → (id_a, id_b, hamming ≤
+    max_hamming): the ``simhash`` signature expressions feeding
+    ``hamming_near_dups`` at the 32-bit/4-band geometry. Docs shorter than
+    the shingle width all hash to signature 0 and pair with each other at
+    hamming 0 — the documented contract of ``simhash`` (mirrored by the
+    SQL twin); gate on length upstream if that's not wanted."""
+    sig = docs.select(F.col(id_col), simhash(F.col(text_col)).alias("sh"))
+    return hamming_near_dups(
+        sig, "sh", id_col=id_col, bits=SIMHASH_BITS, bands=SIMHASH_NEAR_BANDS,
+        max_hamming=max_hamming,
+    )
+
+
+def simhash_near_dups_sql(max_hamming: int = SIMHASH_NEAR_BANDS - 1, base: str = "documents") -> str:
+    """DuckDB twin of ``simhash_near_dups`` (same signature expressions,
+    same banding, same popcount verify)."""
+    width = SIMHASH_BITS // SIMHASH_NEAR_BANDS
+    mask = (1 << width) - 1
+    bs = ", ".join(str(b) for b in range(SIMHASH_NEAR_BANDS))
+    return f"""
+WITH sig AS (
+  SELECT doc_id, {simhash_sql('text')} AS sh FROM {base}
+), bands AS (
+  SELECT doc_id, sh, t.b AS band, (sh >> (t.b * {width})) & {mask} AS key
+  FROM sig, UNNEST([{bs}]) AS t(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.sh AS sha, b.doc_id AS id_b, b.sh AS shb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sha, shb)) AS hamming FROM cand
+WHERE bit_count(xor(sha, shb)) <= {max_hamming} ORDER BY id_a, id_b
+"""

@@ -390,3 +390,48 @@ def test_connected_components_iteration_guard(spark):
         dedup.connected_components(pairs, max_iter=1)
     got = {r.doc_id: r.component for r in dedup.connected_components(pairs).collect()}
     assert set(got.values()) == {0} and len(got) == 7
+
+
+def test_simhash_near_dups_matches_duckdb(docs, duck):
+    """Manku banding + popcount verify: exact pair parity with the SQL twin
+    (the multi-index is lossless at hamming <= bands-1, so this is full
+    equality, not a recall gate)."""
+    from geospatial_studio_pipelines_spark import contracts
+
+    got = dedup.simhash_near_dups(docs.select("doc_id", "text"), max_hamming=3).collect()
+    exp = duck.execute(
+        contracts.Q_SIMHASH_NEAR_DUPS_SQL.replace("ORDER BY id_a, id_b", "")
+    ).fetchall()
+    _compare([(r.id_a, r.id_b, r.hamming) for r in got], exp)
+    assert len(got) > 0
+
+
+def test_simhash_near_dups_pigeonhole_guard():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_dups(None, max_hamming=4)
+
+
+def test_hamming_near_dups_phash_planted(spark):
+    """hamming_near_dups over an int64 perceptual-hash column (the
+    north-rule image-table phash): every 64th row's phash is the NEXT row's
+    hash with one bit flipped — all planted pairs must surface at hamming 1
+    (lossless at the pigeonhole radius), with zero Python stages in the
+    plan."""
+    n = 20_000
+    base = F.pmod(F.col("id") * F.lit(2654435761), F.lit(2**62)).cast("long")
+    nxt = F.pmod((F.col("id") + 1) * F.lit(2654435761), F.lit(2**62)).cast("long")
+    ph = spark.range(0, n).select(
+        F.col("id").alias("image_id"),
+        F.when(F.col("id") % 64 == 0, nxt.bitwiseXOR(F.lit(1))).otherwise(base).alias("phash"),
+    )
+    out = dedup.hamming_near_dups(ph, "phash", id_col="image_id", bits=62, max_hamming=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("Python", "Arrow", "Pandas"):
+        assert marker not in plan, f"unexpected Python stage: {marker}"
+    rows = out.collect()
+    planted = {(i, i + 1) for i in range(0, n - 1, 64)}
+    got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)): r.hamming for r in rows}
+    assert planted <= set(got)
+    assert all(got[p] == 1 for p in planted)

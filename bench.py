@@ -130,11 +130,16 @@ def run_one(spark, name: str) -> float:
     elif name == "phash_near_dups":
         from geospatial_studio_pipelines_spark.operators import dedup
 
-        # synthetic phash table, pure codegen (Knuth multiplicative hash of
-        # the id, plus a planted near-dup per 64th row: the NEXT row's hash
-        # with one bit flipped — so the verify stage has real survivors)
+        # synthetic phash table, pure codegen. xxhash64 gives full-width
+        # avalanche mixing so ALL four 15-bit bands are uniform (the r4
+        # Knuth-multiply generator left values < 2^54, collapsing band 3
+        # to ~300 effective keys — the measured regime silently diverged
+        # from the documented n/2^width bucket analysis). A planted
+        # near-dup per 64th row (the NEXT row's hash, one bit flipped)
+        # gives the verify stage real survivors. Expected candidates
+        # ~ bands * C(n,2) / 2^15.
         def base_of(c):
-            return F.pmod(c * F.lit(2654435761), F.lit(2**62)).cast("long")
+            return F.xxhash64(c).bitwiseAND(F.lit(2**62 - 1))
 
         ph = spark.range(0, N_PHASH, numPartitions=64).select(
             F.col("id").alias("image_id"),
@@ -180,22 +185,36 @@ def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--one":
         _child(sys.argv[2])
         return
+    # Failure tolerance (r4 post-mortem: one crashing child voided eight
+    # completed measurements — BENCH_r04 recorded parsed:null). A child
+    # failure is recorded per-query in `errors`, every completed number is
+    # still emitted, and the exit code is nonzero-but-informative.
     queries: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in QUERY_NAMES:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one", name],
-            capture_output=True,
-            text=True,
-            cwd=REPO,
-            timeout=1800,
-        )
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+                timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            errors[name] = "timeout after 1800s"
+            sys.stderr.write(f"bench child TIMEOUT for {name}\n")
+            continue
         got = None
         for line in out.stdout.splitlines():
             if line.startswith("BENCH_ONE::"):
                 got = json.loads(line[len("BENCH_ONE::"):])
         if got is None:
-            sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
-            raise RuntimeError(f"bench child failed for {name}")
+            tail = (out.stdout[-1000:] + "\n" + out.stderr[-2000:]).strip()
+            errors[name] = f"rc={out.returncode}: {tail[-500:]}"
+            sys.stderr.write(
+                f"bench child FAILED for {name} (rc={out.returncode}):\n{tail}\n"
+            )
+            continue
         queries[name] = got["sec"]
     total = round(sum(queries.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -211,11 +230,19 @@ def main() -> None:
         "sf": sf_val,
         "cpus": CPUS,
         "bench_images": N_IMAGES,
-        "images_per_sec": round(N_IMAGES / queries["image_tile_join"], 1),
-        "ingest_files_per_sec": round(N_INGEST_FILES / queries["ingest_validate"], 1),
         "isolation": "fresh JVM per query (order-insensitive)",
     }
+    if "image_tile_join" in queries:
+        result["images_per_sec"] = round(N_IMAGES / queries["image_tile_join"], 1)
+    if "ingest_validate" in queries:
+        result["ingest_files_per_sec"] = round(
+            N_INGEST_FILES / queries["ingest_validate"], 1
+        )
+    if errors:
+        result["errors"] = errors
     print(json.dumps(result))
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

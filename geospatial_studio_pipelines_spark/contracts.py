@@ -642,6 +642,46 @@ def q_simhash_near_dups(spark, sf_dir):
 Q_SIMHASH_NEAR_DUPS_SQL = dedup.simhash_near_dups_sql(3)
 
 
+def q_phash_near_dups(spark, sf_dir):
+    """Hamming near-dup pairs over an int64 perceptual-hash column at the
+    wide 60-bit/4-band geometry (the north-rule ``phash:int64`` image
+    column — mirrors reference near-dup intent over tiled rasters,
+    `postprocess_generic_helper_functions.py:340-398` tile-overlap
+    semantics, recast as Manku WWW'07 multi-index banding). Input: a
+    deterministic 60-bit phash derived from md5(text) (identical
+    expression in DuckDB), plus a planted perturbed twin per doc at
+    hamming = popcount(doc_id % 8) ≤ 3 — so the verify stage returns a
+    hamming spread of 0..3, not just exact matches."""
+    d = load(spark, sf_dir, "documents")
+    phash = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+    base = d.select(F.col("doc_id").alias("image_id"), phash.alias("phash"))
+    twin = d.select(
+        (F.col("doc_id") + 1_000_000).alias("image_id"),
+        phash.bitwiseXOR(F.col("doc_id") % 8).alias("phash"),
+    )
+    both = base.unionByName(twin)
+    return dedup.hamming_near_dups(
+        both, "phash", id_col="image_id", bits=60, bands=4, max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+Q_PHASH_NEAR_DUPS_SQL = dedup.hamming_near_dups_sql(
+    """
+  SELECT doc_id AS image_id,
+         CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS phash
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         xor(CAST('0x' || substring(md5(text), 1, 15) AS BIGINT), doc_id % 8)
+  FROM documents""",
+    bits=60,
+    bands=4,
+    max_hamming=3,
+    id_col="image_id",
+    hash_col="phash",
+)
+
+
 def q_jaccard_near_dups(spark, sf_dir):
     """MinHash-LSH candidates → exact n-gram Jaccard ≥ 0.3 (shingle→minhash→
     band→bucket-join, then verify — the full near-dup pipeline)."""
@@ -1142,6 +1182,7 @@ QUERIES = {
     "minhash_signatures": (q_minhash_signatures, Q_MINHASH_SIGNATURES_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
     "simhash_near_dups": (q_simhash_near_dups, Q_SIMHASH_NEAR_DUPS_SQL),
+    "phash_near_dups": (q_phash_near_dups, Q_PHASH_NEAR_DUPS_SQL),
     "jaccard_near_dups": (q_jaccard_near_dups, Q_JACCARD_NEAR_DUPS_SQL),
     "ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
     "embedding_label_centroids": (q_embedding_label_centroid_sim, Q_EMBEDDING_LABEL_CENTROID_SIM_SQL),

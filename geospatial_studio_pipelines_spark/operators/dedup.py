@@ -434,6 +434,17 @@ def connected_components(
 SIMHASH_NEAR_BANDS = 4
 
 
+def _check_pigeonhole(max_hamming: int, bands: int) -> None:
+    """Raise before ANY DataFrame is touched (validation-order contract:
+    ``simhash_near_dups(None, max_hamming=4)`` must raise ValueError, not
+    AttributeError)."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming {max_hamming} breaks the pigeonhole guarantee of "
+            f"{bands} bands (must be < bands)"
+        )
+
+
 def hamming_near_dups(
     df: DataFrame,
     hash_col: str,
@@ -441,6 +452,7 @@ def hamming_near_dups(
     bits: int = 64,
     bands: int = 4,
     max_hamming: int | None = None,
+    hot_bucket_limit: int | None = 1 << 16,
 ) -> DataFrame:
     """Hamming near-duplicate pairs over ANY int64 hash column (SimHash
     signatures, image perceptual hashes — the north-rule image table
@@ -456,14 +468,29 @@ def hamming_near_dups(
     band: 64-bit hashes with 4 bands give 16-bit keys — selective to ~10^9
     rows; at 10^12 widen keys (more bits, or fewer/wider bands via Manku's
     permuted tables) so the per-bucket pair work stays local. The plan
-    shape (band equi-join + popcount verify) is unchanged at any scale."""
+    shape (band equi-join + popcount verify) is unchanged at any scale.
+
+    Scale contract (r4 post-mortem): the ``bit_count(xor) <= max_hamming``
+    filter is applied INSIDE the join stage, BEFORE the pair-level
+    ``dropDuplicates`` — hamming is a pure function of the pair, so the
+    filter commutes with the dedup, and placed first it keeps the shuffled
+    intermediate at |result| instead of |candidates| (which is quadratic
+    per bucket: the unfiltered ordering shuffled 2.7e10 pairs at 4e6 rows
+    and killed the JVM).
+
+    ``hot_bucket_limit`` (default 2^16 rows per (band, key) bucket) makes
+    skewed key distributions fail LOUDLY instead of by quadratic blowup:
+    a bucket of L rows emits C(L,2) candidate pairs, so one degenerate key
+    (all-same phash megacluster, low-entropy hash bits) turns the join
+    quadratic. The guard is lazy and distributed — a map-side-combined
+    count per bucket checked with ``assert_true`` at execution time, whose
+    exchange the candidate join reuses — and raises naming the hot
+    (band, key, count). Remedies: run exact dedup first (same-hash
+    megacluster), widen keys (more bits / fewer bands), or raise/disable
+    the limit (``None``) if the quadratic cost is genuinely intended."""
     if max_hamming is None:
         max_hamming = bands - 1
-    if max_hamming >= bands:
-        raise ValueError(
-            f"max_hamming {max_hamming} breaks the pigeonhole guarantee of "
-            f"{bands} bands (must be < bands)"
-        )
+    _check_pigeonhole(max_hamming, bands)
     width = bits // bands
     mask = (1 << width) - 1
     sig = df.select(F.col(id_col), F.col(hash_col).alias("sh"))
@@ -482,21 +509,45 @@ def hamming_near_dups(
             )
         ).alias("bk"),
     ).select(id_col, "sh", "bk.band", "bk.key")
+    if hot_bucket_limit is not None:
+        # Lazy fail-loud guard: per-bucket count (map-side combine, tiny
+        # post-agg exchange) asserted at execution time. assert_true
+        # returns NULL on success, so the isNull filter keeps every bucket
+        # while forcing evaluation; the inner join back onto `banded` is an
+        # identity (every bucket is present) on the SAME (band, key) keys
+        # the candidate join shuffles on, so the exchange is reused.
+        counts = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_bc"))
+        ok = counts.filter(
+            F.assert_true(
+                F.col("_bc") <= F.lit(hot_bucket_limit),
+                F.concat(
+                    F.lit(
+                        f"hamming_near_dups: hot bucket exceeds hot_bucket_limit="
+                        f"{hot_bucket_limit} rows (band="
+                    ),
+                    F.col("band"), F.lit(", key="), F.col("key"),
+                    F.lit(", rows="), F.col("_bc"),
+                    F.lit(
+                        ") — run exact dedup first, widen band keys, or raise "
+                        "hot_bucket_limit"
+                    ),
+                ),
+            ).isNull()
+        ).select("band", "key")
+        banded = banded.join(ok, ["band", "key"])
     a = banded.select(
         F.col("band"), F.col("key"), F.col(id_col).alias("id_a"), F.col("sh").alias("sha")
     )
     b = banded.select(
         F.col("band"), F.col("key"), F.col(id_col).alias("id_b"), F.col("sh").alias("shb")
     )
-    cand = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
     ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
     return (
-        cand.select("id_a", "id_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(ham <= F.lit(max_hamming))  # BEFORE dropDuplicates: see docstring
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -512,11 +563,48 @@ def simhash_near_dups(
     the shingle width all hash to signature 0 and pair with each other at
     hamming 0 — the documented contract of ``simhash`` (mirrored by the
     SQL twin); gate on length upstream if that's not wanted."""
+    _check_pigeonhole(max_hamming, SIMHASH_NEAR_BANDS)
     sig = docs.select(F.col(id_col), simhash(F.col(text_col)).alias("sh"))
     return hamming_near_dups(
         sig, "sh", id_col=id_col, bits=SIMHASH_BITS, bands=SIMHASH_NEAR_BANDS,
         max_hamming=max_hamming,
     )
+
+
+def hamming_near_dups_sql(
+    sig_sql: str,
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int | None = None,
+    id_col: str = "doc_id",
+    hash_col: str = "sh",
+) -> str:
+    """DuckDB twin of ``hamming_near_dups`` over an arbitrary signature
+    relation ``sig_sql`` (must yield columns ``id_col``, ``hash_col``):
+    same shift/mask banding, same popcount verify, any bits/bands
+    geometry. The ordering difference vs the Spark plan (the oracle
+    DISTINCTs candidates before the hamming filter) is semantically
+    irrelevant — hamming is a pure function of the pair — and irrelevant
+    to oracle perf at correctness scale."""
+    if max_hamming is None:
+        max_hamming = bands - 1
+    _check_pigeonhole(max_hamming, bands)
+    width = bits // bands
+    mask = (1 << width) - 1
+    bs = ", ".join(str(b) for b in range(bands))
+    return f"""
+WITH sig AS ({sig_sql}
+), bands AS (
+  SELECT {id_col} AS _id, {hash_col} AS sh, t.b AS band,
+         ({hash_col} >> (t.b * {width})) & {mask} AS key
+  FROM sig, UNNEST([{bs}]) AS t(b)
+), cand AS (
+  SELECT DISTINCT a._id AS id_a, a.sh AS sha, b._id AS id_b, b.sh AS shb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a._id < b._id
+)
+SELECT id_a, id_b, bit_count(xor(sha, shb)) AS hamming FROM cand
+WHERE bit_count(xor(sha, shb)) <= {max_hamming} ORDER BY id_a, id_b
+"""
 
 
 def simhash_near_dups_sql(max_hamming: int = SIMHASH_NEAR_BANDS - 1, base: str = "documents") -> str:

@@ -435,3 +435,56 @@ def test_hamming_near_dups_phash_planted(spark):
     got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)): r.hamming for r in rows}
     assert planted <= set(got)
     assert all(got[p] == 1 for p in planted)
+
+
+def test_hamming_near_dups_1m_rows_completes_with_exact_pairs(spark):
+    """r4 post-mortem regression gate: at 1M rows the candidate stream is
+    ~6e7 pairs — the r4 ordering (dropDuplicates BEFORE the hamming
+    filter) shuffled all of them and scaled to JVM death at bench size
+    (2.7e10 pairs at 4M rows). Filter-first must complete quickly and
+    return EXACTLY the planted pairs (deterministic input, and random
+    62-bit hamming<=3 collisions have probability ~1e-3 across all C(n,2)
+    pairs — zero here by construction check)."""
+    n = 1_000_000
+    mask62 = (1 << 62) - 1
+
+    def base_of(c):
+        return F.xxhash64(c).bitwiseAND(F.lit(mask62))
+
+    ph = spark.range(0, n, numPartitions=32).select(
+        F.col("id").alias("image_id"),
+        F.when(
+            F.col("id") % 64 == 0, base_of(F.col("id") + 1).bitwiseXOR(F.lit(1))
+        ).otherwise(base_of(F.col("id"))).alias("phash"),
+    )
+    out = dedup.hamming_near_dups(ph, "phash", id_col="image_id", bits=62, max_hamming=3)
+    rows = out.collect()
+    planted = {(i, i + 1) for i in range(0, n - 1, 64)}
+    got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in rows}
+    assert got == planted
+    assert len(rows) == len(planted)
+
+
+def test_hamming_near_dups_hot_bucket_fails_loudly(spark):
+    """A same-hash megacluster (the degenerate quadratic case) must raise
+    the hot-bucket error naming the bucket — not OOM silently."""
+    ph = spark.range(0, 200).select(
+        F.col("id").alias("image_id"), F.lit(12345).cast("long").alias("phash")
+    )
+    out = dedup.hamming_near_dups(
+        ph, "phash", id_col="image_id", bits=62, hot_bucket_limit=50
+    )
+    with pytest.raises(Exception, match="hot bucket"):
+        out.collect()
+
+
+def test_hamming_near_dups_hot_bucket_disabled(spark):
+    """hot_bucket_limit=None runs the quadratic case to completion (the
+    explicitly-intended escape hatch): C(200,2) same-hash pairs."""
+    ph = spark.range(0, 200).select(
+        F.col("id").alias("image_id"), F.lit(12345).cast("long").alias("phash")
+    )
+    out = dedup.hamming_near_dups(
+        ph, "phash", id_col="image_id", bits=62, hot_bucket_limit=None
+    )
+    assert out.count() == 200 * 199 // 2

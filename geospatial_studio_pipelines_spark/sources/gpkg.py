@@ -266,16 +266,41 @@ def gpkg_layers(buf: bytes) -> list[dict]:
     return out
 
 
-def _layer_frame(buf: bytes, table: str | None) -> tuple[pd.DataFrame, list[str], list[str]]:
-    """One .gpkg image → (frame with geom_wkb+bbox+attrs, attr names,
-    attr spark types)."""
-    db = _Db(buf)
+def _pick_layer(buf: bytes, table: str | None) -> dict:
     layers = gpkg_layers(buf)
     if table is not None:
         layers = [l for l in layers if l["table"] == table]
     if not layers:
         raise ValueError(f"no feature layer {'named ' + table if table else ''} in gpkg")
-    lyr = layers[0]
+    return layers[0]
+
+
+def _layer_schema(buf: bytes, table: str | None) -> tuple[list[str], list[str]]:
+    """Attribute (names, spark types) of a layer from HEADER TABLES ONLY —
+    gpkg_contents / gpkg_geometry_columns plus the feature table's CREATE
+    TABLE SQL out of sqlite_master. No feature row, geometry blob, or
+    envelope is materialized, so driver-side schema derivation on a large
+    first .gpkg is O(header), not O(file)."""
+    db = _Db(buf)
+    lyr = _pick_layer(buf, table)
+    entry = next(
+        (m for m in db.master() if m["type"] == "table" and m["name"] == lyr["table"]),
+        None,
+    )
+    if entry is None:
+        raise ValueError(f"gpkg_contents names {lyr['table']!r} but no such table")
+    cols, decls, _ipk = _parse_create_table(entry["sql"])
+    gi = cols.index(lyr["geom_col"])
+    names = [c for j, c in enumerate(cols) if j != gi]
+    types = [_spark_type(decls[j]) for j, c in enumerate(cols) if j != gi]
+    return names, types
+
+
+def _layer_frame(buf: bytes, table: str | None) -> tuple[pd.DataFrame, list[str], list[str]]:
+    """One .gpkg image → (frame with geom_wkb+bbox+attrs, attr names,
+    attr spark types)."""
+    db = _Db(buf)
+    lyr = _pick_layer(buf, table)
     cols, decls, rows = db.read_table(lyr["table"])
     gi = cols.index(lyr["geom_col"])
     attr_names = [c for j, c in enumerate(cols) if j != gi]
@@ -307,9 +332,10 @@ def read_gpkg(
     task per file via ``binaryFile``, all parsing executor-side.
     ``table`` picks a layer when a file has several (default: the first
     'features' row of gpkg_contents). ``attrs_schema`` (Spark DDL) pins the
-    attribute schema; when None it is derived by reading ONE file's header
-    tables on the driver (local paths only — pass it explicitly for
-    object-store globs)."""
+    attribute schema; when None it is derived from ONE file's header tables
+    on the driver — sqlite_master CREATE TABLE SQL + gpkg_geometry_columns
+    only, no feature rows parsed (local paths only — pass it explicitly
+    for object-store globs)."""
     pattern = path
     if not _glob.has_magic(pattern) and not pattern.endswith(".gpkg"):
         pattern = os.path.join(pattern, "*.gpkg")
@@ -317,7 +343,7 @@ def read_gpkg(
         files = sorted(_glob.glob(pattern))
         if not files:
             raise FileNotFoundError(f"no .gpkg matches {pattern}")
-        _frame, names, types = _layer_frame(open(files[0], "rb").read(), table)
+        names, types = _layer_schema(open(files[0], "rb").read(), table)
         attrs_schema = ", ".join(f"{n} {t}" for n, t in zip(names, types))
     out_schema = "geom_wkb binary, minx double, miny double, maxx double, maxy double"
     attr_names = []

@@ -43,6 +43,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -217,7 +218,14 @@ def read_shapefile(
     record counts between .shp and .dbf and raises on mismatch — the
     failure mode that silently shifts attributes otherwise."""
     pattern = path
-    if not _glob.has_magic(pattern) and not pattern.endswith(".shp"):
+    if _glob.has_magic(pattern):
+        if not pattern.endswith(".shp"):
+            raise ValueError(
+                f"shapefile glob must end with '.shp' (got {pattern!r}): a bare "
+                "glob like 'dir/tile*' would feed .dbf/.prj siblings into the "
+                "geometry parser and every matched file into the attrs scan"
+            )
+    elif not pattern.endswith(".shp"):
         pattern = os.path.join(pattern, "*.shp")
     if attrs_schema is None:
         shps = sorted(_glob.glob(pattern))
@@ -269,7 +277,15 @@ def read_shapefile(
             .load(dbf_pattern)
             .select("path", "content")
         )
-    except Exception:  # noqa: BLE001 — no .dbf anywhere: attrs all-null
+    except AnalysisException as e:
+        # ONLY path-not-found means "no .dbf anywhere → attrs all-null";
+        # any other load failure (permissions, scheme config) re-raises
+        # rather than silently nulling attributes and skipping alignment.
+        cond = (
+            e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
+        ) or ""
+        if "PATH_NOT_FOUND" not in cond:
+            raise
         out = geoms.filter(F.col("geom_wkb").isNotNull()).drop("stem", "rec_no")
         for spec in attrs_schema.split(","):
             name, typ = spec.strip().split(" ", 1)

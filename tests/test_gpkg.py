@@ -153,3 +153,30 @@ def test_gpkg_feeds_spatial_join(spark, tmp_path):
 def test_parse_gpkg_blob_rejects_garbage():
     with pytest.raises(ValueError, match="GPKG"):
         G.parse_gpkg_blob(b"\x00\x01\x02")
+
+
+def test_layer_schema_is_header_only(tmp_path):
+    """Driver-side schema derivation must come from sqlite_master CREATE
+    TABLE SQL + gpkg header tables WITHOUT materializing feature rows:
+    same names/types as the full parse, and it must survive a feature
+    table whose rows would crash the row parser (corrupt geometry blob)."""
+    p = str(tmp_path / "layer.gpkg")
+    _make_gpkg(p, [_tri(0.0)], ["a"], [1.0])
+    buf = open(p, "rb").read()
+    names, types = G._layer_schema(buf, None)
+    _frame, f_names, f_types = G._layer_frame(buf, None)
+    assert names == f_names and types == f_types
+
+    # corrupt the stored geometry blob: header-only derivation still works
+    p2 = str(tmp_path / "bad.gpkg")
+    _make_gpkg(p2, [_tri(0.0)], ["a"], [1.0])
+    con = sqlite3.connect(p2)
+    con.execute('UPDATE "footprints" SET geom = ?', (b"NOTAGPBLOB",))
+    con.commit(); con.close()
+    buf2 = open(p2, "rb").read()
+    names2, types2 = G._layer_schema(buf2, None)
+    assert names2 == names and types2 == types
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        G._layer_frame(buf2, None)

@@ -214,3 +214,27 @@ def test_mixed_shape_types_rejected(tmp_path):
     )
     with pytest.raises(ValueError, match="mixed shape types"):
         SHP.write_shapefile(pdf, str(tmp_path / "mixed"))
+
+
+def test_bare_glob_rejected(spark, tmp_path):
+    pdf = _fixture_pdf()
+    SHP.write_shapefile(pdf, str(tmp_path / "tile_a"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must end with '.shp'"):
+        SHP.read_shapefile(spark, str(tmp_path / "tile*"))
+
+
+def test_missing_dbf_yields_null_attrs_with_explicit_schema(spark, tmp_path):
+    """PATH_NOT_FOUND on the .dbf side (no .dbf anywhere) falls back to
+    all-null attributes — and ONLY that error class is swallowed."""
+    pdf = _fixture_pdf()
+    SHP.write_shapefile(pdf, str(tmp_path / "layer"))
+    import os as _os
+
+    _os.remove(str(tmp_path / "layer.dbf"))
+    got = SHP.read_shapefile(
+        spark, str(tmp_path / "layer.shp"), attrs_schema="name string, code long"
+    ).collect()
+    assert len(got) == 2
+    assert all(r.name is None and r.code is None for r in got)

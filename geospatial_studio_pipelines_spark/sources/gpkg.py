@@ -363,3 +363,174 @@ def read_gpkg(
                 yield out
 
     return files_df.mapInPandas(parse, out_schema)
+
+
+# ----------------------------------------------------------------- write
+
+#: OGC 12-128r19 table 30 geometry type names by WKB type code.
+_GEOM_TYPE_NAMES = {
+    _wkb.POINT: "POINT",
+    _wkb.LINESTRING: "LINESTRING",
+    _wkb.POLYGON: "POLYGON",
+    4: "MULTIPOINT",
+    _wkb.MULTILINESTRING: "MULTILINESTRING",
+    _wkb.MULTIPOLYGON: "MULTIPOLYGON",
+}
+
+#: GPKG application_id ('GPKG') and user_version (1.2.0) — OGC 12-128r19 §1.1.1.1.1.
+_GPKG_APPLICATION_ID = 0x47504B47
+_GPKG_USER_VERSION = 10200
+
+
+def make_gpkg_blob(wkb_bytes: bytes, srs_id: int = 4326) -> bytes:
+    """Standard WKB → GPKG geometry blob (OGC 12-128r19 §2.1.3): 'GP'
+    magic, version 0, flags 0x03 (little-endian + xy envelope), srs_id,
+    [minx, maxx, miny, maxy] envelope, then the WKB unchanged — the exact
+    inverse of ``parse_gpkg_blob``."""
+    minx, miny, maxx, maxy = _wkb.envelope(wkb_bytes)
+    return (
+        b"GP"
+        + bytes([0, 0x03])
+        + struct.pack("<i", srs_id)
+        + struct.pack("<4d", minx, maxx, miny, maxy)
+        + wkb_bytes
+    )
+
+
+def _sqlite_decl(series: pd.Series) -> str:
+    if pd.api.types.is_bool_dtype(series):
+        return "BOOLEAN"
+    if pd.api.types.is_integer_dtype(series):
+        return "INTEGER"
+    if pd.api.types.is_float_dtype(series):
+        return "DOUBLE"
+    if len(series) and isinstance(series.dropna().iloc[0] if len(series.dropna()) else "", (bytes, bytearray)):
+        return "BLOB"
+    return "TEXT"
+
+
+def write_gpkg(
+    pdf: pd.DataFrame,
+    path: str,
+    table: str = "layer",
+    srs_id: int = 4326,
+    geom_col: str = "geom_wkb",
+) -> None:
+    """Driver-side GeoPackage writer for SMALL layers (AOI exports, test
+    fixtures — the reference writes its regularized vectors as single
+    small .gpkg artifacts, `postprocess_regularization.py:127-141`).
+    Mirrors ``write_shapefile``: geometry from ``geom_col`` (standard
+    WKB), every other column becomes an attribute.
+
+    The GPKG DOMAIN layer is from scratch — required header tables
+    (gpkg_spatial_ref_sys / gpkg_contents / gpkg_geometry_columns),
+    application_id/user_version pragmas, geometry blob encoding
+    (``make_gpkg_blob``), extents, type names — while the SQLite pager/
+    B-tree persistence uses the Python stdlib ``sqlite3`` module (the
+    read side stays the engine's own file walker, so round-trip tests
+    cross two independent SQLite implementations). Unlike the shapefile
+    format, GPKG has no single-shape-type-per-file constraint: mixed
+    geometries get type name GEOMETRY."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
+        raise ValueError(f"invalid gpkg table name {table!r}")
+    import sqlite3
+
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    try:
+        con.execute(f"PRAGMA application_id = {_GPKG_APPLICATION_ID}")
+        con.execute(f"PRAGMA user_version = {_GPKG_USER_VERSION}")
+        con.execute(
+            "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, "
+            "srs_id INTEGER NOT NULL PRIMARY KEY, organization TEXT NOT NULL, "
+            "organization_coordsys_id INTEGER NOT NULL, definition TEXT NOT NULL, "
+            "description TEXT)"
+        )
+        # the three rows every GPKG must carry (§1.1.2.1.2) + the layer SRS
+        srs_rows = [
+            ("Undefined cartesian SRS", -1, "NONE", -1, "undefined", None),
+            ("Undefined geographic SRS", 0, "NONE", 0, "undefined", None),
+            (
+                "WGS 84 geodetic",
+                4326,
+                "EPSG",
+                4326,
+                'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+                '298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]',
+                "longitude/latitude on WGS 84",
+            ),
+        ]
+        if srs_id not in {-1, 0, 4326}:
+            srs_rows.append(
+                (f"SRS {srs_id}", srs_id, "EPSG", srs_id, "undefined", None)
+            )
+        con.executemany(
+            "INSERT INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)", srs_rows
+        )
+        con.execute(
+            "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY KEY, "
+            "data_type TEXT NOT NULL, identifier TEXT UNIQUE, description TEXT "
+            "DEFAULT '', last_change DATETIME NOT NULL DEFAULT "
+            "(strftime('%Y-%m-%dT%H:%M:%fZ','now')), min_x DOUBLE, min_y DOUBLE, "
+            "max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)"
+        )
+        con.execute(
+            "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, "
+            "column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, "
+            "srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL, "
+            "CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name))"
+        )
+
+        attr_cols = [c for c in pdf.columns if c != geom_col]
+        decls = ", ".join(
+            f'"{c}" {_sqlite_decl(pdf[c])}' for c in attr_cols
+        )
+        con.execute(
+            f'CREATE TABLE "{table}" (fid INTEGER PRIMARY KEY AUTOINCREMENT, '
+            f"geom BLOB{', ' + decls if decls else ''})"
+        )
+
+        type_names = set()
+        gminx = gminy = np.inf
+        gmaxx = gmaxy = -np.inf
+        rows = []
+        for _, row in pdf.iterrows():
+            g = row[geom_col]
+            if g is None:
+                rows.append((None, *[_py(row[c]) for c in attr_cols]))
+                continue
+            g = bytes(g)
+            code = struct.unpack_from("<I", g, 1)[0] & 0xFFFF
+            type_names.add(_GEOM_TYPE_NAMES.get(code, "GEOMETRY"))
+            minx, miny, maxx, maxy = _wkb.envelope(g)
+            gminx, gminy = min(gminx, minx), min(gminy, miny)
+            gmaxx, gmaxy = max(gmaxx, maxx), max(gmaxy, maxy)
+            rows.append((make_gpkg_blob(g, srs_id), *[_py(row[c]) for c in attr_cols]))
+        gtype = type_names.pop() if len(type_names) == 1 else "GEOMETRY"
+        ph = ", ".join("?" * (1 + len(attr_cols)))
+        cols_sql = ", ".join(['geom'] + [f'"{c}"' for c in attr_cols])
+        con.executemany(
+            f'INSERT INTO "{table}" ({cols_sql}) VALUES ({ph})', rows
+        )
+        if not np.isfinite(gminx):
+            gminx = gminy = gmaxx = gmaxy = None  # all-null layer: no extent
+        con.execute(
+            "INSERT INTO gpkg_contents (table_name, data_type, identifier, "
+            "min_x, min_y, max_x, max_y, srs_id) VALUES (?,?,?,?,?,?,?,?)",
+            (table, "features", table, gminx, gminy, gmaxx, gmaxy, srs_id),
+        )
+        con.execute(
+            "INSERT INTO gpkg_geometry_columns VALUES (?,?,?,?,0,0)",
+            (table, "geom", gtype, srs_id),
+        )
+        con.commit()
+    finally:
+        con.close()
+
+
+def _py(v):
+    """numpy scalar → plain Python for sqlite3 binding."""
+    if isinstance(v, np.generic):
+        return v.item()
+    return v

@@ -14,6 +14,13 @@ grid bounds when 1-D ``lon``/``lat`` (or ``x``/``y``) coordinate variables
 are present, ready for the raster operators. Scope: classic CDF-1/2 (the
 format NCO/GDAL write by default), all six classic types, record dimension
 supported; HDF5-backed NetCDF-4 is rejected with a clear error.
+
+NetCDF-4/HDF5 is a DOCUMENTED scope-out (README "Interchange format set"):
+the reference only touches .nc via GDAL and GeoServer publish (serving,
+already out of scope), and this container has no independent HDF5
+implementation (no h5py/netCDF4/scipy) — a from-scratch HDF5 reader could
+only be tested against fixtures written by itself, circular evidence of
+the kind the GPKG/shapefile sources were built to avoid.
 """
 
 from __future__ import annotations

@@ -180,3 +180,77 @@ def test_layer_schema_is_header_only(tmp_path):
 
     with _pytest.raises(ValueError):
         G._layer_frame(buf2, None)
+
+
+def test_write_gpkg_roundtrip_engine_and_sqlite3(spark, tmp_path):
+    """S7 write symmetry (reference writes GPKG,
+    postprocess_regularization.py:127-141): write with the engine's
+    write_gpkg, verify with (a) the REAL sqlite3 module — header pragmas,
+    required tables, geometry blob structure — and (b) the engine's own
+    independent file walker via read_gpkg."""
+    p = str(tmp_path / "out.gpkg")
+    pdf = pd.DataFrame(
+        {
+            "geom_wkb": [_tri(0.0), _tri(5.0)],
+            "name": ["a", "b"],
+            "value": [1.5, 2.5],
+            "code": np.array([7, 42], dtype=np.int64),
+        }
+    )
+    G.write_gpkg(pdf, p, table="footprints")
+
+    # (a) independent read: real SQLite
+    con = sqlite3.connect(p)
+    assert con.execute("PRAGMA application_id").fetchone()[0] == 0x47504B47
+    assert con.execute("PRAGMA user_version").fetchone()[0] == 10200
+    assert con.execute("PRAGMA integrity_check").fetchone()[0] == "ok"
+    ct = dict(con.execute(
+        "SELECT table_name, data_type FROM gpkg_contents").fetchall())
+    assert ct == {"footprints": "features"}
+    gc = con.execute(
+        "SELECT table_name, column_name, geometry_type_name, srs_id "
+        "FROM gpkg_geometry_columns").fetchall()
+    assert gc == [("footprints", "geom", "POLYGON", 4326)]
+    exts = con.execute(
+        "SELECT min_x, min_y, max_x, max_y FROM gpkg_contents").fetchone()
+    assert exts == (0.0, 0.0, 6.0, 1.0)
+    srs = {r[0] for r in con.execute("SELECT srs_id FROM gpkg_spatial_ref_sys")}
+    assert {-1, 0, 4326} <= srs
+    blob, name = con.execute(
+        "SELECT geom, name FROM footprints ORDER BY fid LIMIT 1").fetchone()
+    assert bytes(blob[:2]) == b"GP" and name == "a"
+    assert G.parse_gpkg_blob(bytes(blob)) == bytes(pdf.geom_wkb[0])
+    con.close()
+
+    # (b) engine round-trip through the from-scratch walker
+    rows = G.read_gpkg(spark, p).orderBy("fid").collect()
+    assert len(rows) == 2
+    assert [r.name for r in rows] == ["a", "b"]
+    assert [r.code for r in rows] == [7, 42]
+    assert [r.value for r in rows] == [1.5, 2.5]
+    assert bytes(rows[0].geom_wkb) == bytes(pdf.geom_wkb[0])
+    assert (rows[1].minx, rows[1].maxx) == (5.0, 6.0)
+
+
+def test_write_gpkg_mixed_types_and_null_geom(spark, tmp_path):
+    """Mixed geometry types → GEOMETRY type name (GPKG has no single-type
+    constraint, unlike shapefile); None geometries persist as NULL."""
+    p = str(tmp_path / "mixed.gpkg")
+    pt = W.dumps_point(3.0, 4.0)
+    pdf = pd.DataFrame({"geom_wkb": [_tri(0.0), pt, None], "tag": ["t", "p", "n"]})
+    G.write_gpkg(pdf, p, table="mixed")
+    con = sqlite3.connect(p)
+    assert con.execute(
+        "SELECT geometry_type_name FROM gpkg_geometry_columns").fetchone()[0] == "GEOMETRY"
+    assert con.execute(
+        "SELECT count(*) FROM mixed WHERE geom IS NULL").fetchone()[0] == 1
+    con.close()
+    rows = G.read_gpkg(spark, p).collect()  # NULL-geom rows are skipped by scan
+    assert len(rows) == 2
+    assert {r.tag for r in rows} == {"t", "p"}
+
+
+def test_write_gpkg_rejects_bad_table_name(tmp_path):
+    with pytest.raises(ValueError, match="invalid gpkg table"):
+        G.write_gpkg(pd.DataFrame({"geom_wkb": []}), str(tmp_path / "x.gpkg"),
+                     table="bad name; drop")

@@ -20,6 +20,7 @@ Design notes (100 TB target):
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import zipfile
 
@@ -92,8 +93,37 @@ def _default_local_dir() -> str | None:
         if os.path.isdir(base) and os.access(base, os.W_OK):
             path = os.path.join(base, "spark-local")
             os.makedirs(path, exist_ok=True)
+            _sweep_orphaned_local_dirs(path)
             return path
     return None
+
+
+def _sweep_orphaned_local_dirs(path: str) -> None:
+    """Remove shuffle dirs (spark-*/blockmgr-*) left behind by crashed JVMs.
+
+    On a tmpfs these orphans hold RAM, not disk: a killed child JVM leaves
+    its whole shuffle footprint resident (observed: 118 GiB of orphans from
+    four dead benches starved every subsequent JVM into allocation-failure
+    death). A running JVM cleans its own dirs on shutdown via its hook; this
+    sweep only handles dirs whose owner never got to run that hook. Gate:
+    wipe only when NO java process is alive on the host — the single-host
+    twin of a cluster manager reaping app-scoped local dirs after app death.
+    Best-effort: any error leaves the dir for the next sweep."""
+    try:
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/comm") as fh:
+                    if fh.read().strip() == "java":
+                        return  # a live JVM may own entries; don't touch
+            except OSError:
+                continue
+        for entry in os.listdir(path):
+            if entry.startswith(("spark-", "blockmgr-")):
+                shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+    except OSError:
+        pass
 
 
 def _ship_package(spark: SparkSession) -> None:

@@ -110,20 +110,29 @@ def _sweep_orphaned_local_dirs(path: str) -> None:
     twin of a cluster manager reaping app-scoped local dirs after app death.
     Best-effort: any error leaves the dir for the next sweep."""
     try:
+        if _any_java_alive():
+            return  # a live JVM may own entries; don't touch
+        for entry in os.listdir(path):
+            if entry.startswith(("spark-", "blockmgr-")):
+                shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+    except OSError:
+        pass
+
+
+def _any_java_alive() -> bool:
+    try:
         for p in os.listdir("/proc"):
             if not p.isdigit():
                 continue
             try:
                 with open(f"/proc/{p}/comm") as fh:
                     if fh.read().strip() == "java":
-                        return  # a live JVM may own entries; don't touch
+                        return True
             except OSError:
                 continue
-        for entry in os.listdir(path):
-            if entry.startswith(("spark-", "blockmgr-")):
-                shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+        return False
     except OSError:
-        pass
+        return True  # can't tell — err on not deleting
 
 
 def _ship_package(spark: SparkSession) -> None:

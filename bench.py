@@ -149,8 +149,12 @@ def run_one(spark, name: str) -> float:
         ).localCheckpoint(eager=True)  # untimed: input generation
 
         def build():
+            # bands="auto" picks the Manku block count from n (timed: the
+            # count job is part of the operator's honest cost) — at 4M
+            # rows that is m=5: 10 tables / ~25-bit keys / ~5M random
+            # candidates, vs m=4's 15-bit keys / ~1e9 candidates.
             return dedup.hamming_near_dups(
-                ph, "phash", id_col="image_id", bits=62, max_hamming=3
+                ph, "phash", id_col="image_id", bits=62, max_hamming=3, bands="auto"
             )
     else:
         fn = {

@@ -488,3 +488,48 @@ def test_hamming_near_dups_hot_bucket_disabled(spark):
         ph, "phash", id_col="image_id", bits=62, hot_bucket_limit=None
     )
     assert out.count() == 200 * 199 // 2
+
+
+def test_hamming_near_dups_block_geometry_invariance(spark):
+    """The generalized Manku multi-block index (C(m,h) tables keyed on
+    (m-h)-block concatenations) is lossless at radius h for EVERY block
+    count m > h, so the returned pair set must be IDENTICAL across
+    geometries — band layout is a plan choice, never an answer choice."""
+    n = 10_000
+    base = F.xxhash64(F.col("id")).bitwiseAND(F.lit(2**62 - 1))
+    nxt = F.xxhash64(F.col("id") + 1).bitwiseAND(F.lit(2**62 - 1))
+    ph = spark.range(0, n).select(
+        F.col("id").alias("image_id"),
+        F.when(F.col("id") % 32 == 0, nxt.bitwiseXOR(F.lit(7))).otherwise(base).alias("phash"),
+    )
+    ref = None
+    for bands in (4, 5, 6, "auto"):
+        out = dedup.hamming_near_dups(
+            ph, "phash", id_col="image_id", bits=62, bands=bands, max_hamming=3
+        )
+        got = sorted((r.id_a, r.id_b, r.hamming) for r in out.collect())
+        if ref is None:
+            ref = got
+            planted = {(i, i + 1) for i in range(0, n - 1, 32)}
+            assert planted <= {(a, b) for a, b, _ in got}
+        else:
+            assert got == ref, f"bands={bands} diverged from bands=4"
+
+
+def test_choose_hamming_blocks_scales_with_n():
+    """Cost model picks the narrow m=h+1 banding at small n (explode
+    dominates) and widens blocks as the quadratic candidate term takes
+    over; never violates the pigeonhole floor."""
+    picks = [
+        dedup.choose_hamming_blocks(n, 64, 3)
+        for n in (10_000, 4_000_000, 10**9, 10**12)
+    ]
+    assert picks[0] == 4 and picks[1] == 4  # narrow banding at bench scale
+    assert picks == sorted(picks)  # monotone widening
+    assert picks[2] >= 5 and picks[3] >= 6  # corpus scale goes wide
+    assert all(p > 3 for p in picks)
+
+
+def test_hamming_near_dups_auto_requires_max_hamming():
+    with pytest.raises(ValueError, match="auto"):
+        dedup.hamming_near_dups(None, "phash", bands="auto")

@@ -42,7 +42,15 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def minhash_signature(text: Column, n_perm: int = N_PERM) -> list[Column]:
     """n_perm MinHash values over the document's 4-char shingle set."""
-    sh = shingle_hashes(text)
+    return minhash_signature_from_shingles(shingle_hashes(text), n_perm)
+
+
+def minhash_signature_from_shingles(sh: Column, n_perm: int = N_PERM) -> list[Column]:
+    """n_perm MinHash values over a precomputed shingle-hash array column.
+    min over a permuted multiset equals min over its distinct set, so a
+    sorted/deduped array gives identical signatures — lets callers that
+    already materialized shingle sets (the jaccard-verify path) skip a
+    second shingling pass over the corpus."""
 
     def _perm(j: int):
         # NOTE: Spark introspects lambda arity — a default-arg capture
@@ -53,12 +61,21 @@ def minhash_signature(text: Column, n_perm: int = N_PERM) -> list[Column]:
     return [F.array_min(F.transform(sh, _perm(j))).alias(f"mh{j}") for j in range(n_perm)]
 
 
-def minhash_bands(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def minhash_bands(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_col: str | None = None,
+) -> DataFrame:
     """(id, band_idx, band_key) rows: the LSH bucketing relation.
 
     Single-pass: signature projection → explode over an inline band array.
     (A per-band union would re-evaluate the shingle/minhash expression tree
-    once per band — 4× the scan CPU; explode fans out from one evaluation.)"""
+    once per band — 4× the scan CPU; explode fans out from one evaluation.)
+    ``shingle_col`` names a precomputed shingle-hash array column on
+    ``docs`` (signatures are identical — see
+    :func:`minhash_signature_from_shingles`); otherwise shingles are
+    derived from ``text_col``."""
     # Docs shorter than SHINGLE_K hash to an empty shingle set → all-null
     # signature. Drop them here: Spark's concat_ws skips nulls, so every
     # null-signature doc would share the SAME ":"-only band key and all
@@ -66,9 +83,12 @@ def minhash_bands(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     # downstream). SQL engines agree for free — a NULL band key never
     # equi-joins — so the filter is also what keeps the DuckDB twin
     # bit-identical.
-    sig = docs.select(F.col(id_col), *minhash_signature(F.col(text_col))).filter(
-        F.col("mh0").isNotNull()
+    sig_cols = (
+        minhash_signature_from_shingles(F.col(shingle_col))
+        if shingle_col is not None
+        else minhash_signature(F.col(text_col))
     )
+    sig = docs.select(F.col(id_col), *sig_cols).filter(F.col("mh0").isNotNull())
     n_bands = N_PERM // BAND_SIZE
     band_structs = F.array(
         *[
@@ -87,12 +107,17 @@ def minhash_bands(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
-def minhash_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_col: str | None = None,
+) -> DataFrame:
     """Distinct unordered candidate pairs sharing ≥1 LSH band bucket.
     The band self-join is the shuffle; a hot bucket (boilerplate text) is a
     skew risk — bound it by ``spark.sql.adaptive.skewJoin`` plus the
     downstream exact-jaccard verify which is per-pair work."""
-    bands = minhash_bands(docs, id_col, text_col)
+    bands = minhash_bands(docs, id_col, text_col, shingle_col=shingle_col)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -126,8 +151,6 @@ def ngram_jaccard_pairs(
     |A∩B| / |A∪B| on distinct shingle-hash sets, via array_intersect /
     array_union on sorted distinct arrays (portable: DuckDB list_intersect
     has identical set semantics)."""
-    if pairs is None:
-        pairs = minhash_candidate_pairs(docs, id_col, text_col)
     if broadcast_sets is None:
         # size-gate the broadcast: one column-pruned agg over the corpus vs
         # an executor OOM when someone points this at 10^9 docs
@@ -137,6 +160,21 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.array_sort(F.array_distinct(shingle_hashes(F.col(text_col)))).alias("sh"),
     ).withColumn("n", F.size("sh"))
+    # Shingle the corpus ONCE when we both collect sets and derive LSH
+    # candidates: persist the set relation, band off the cached arrays
+    # (identical signatures — minhash_signature_from_shingles), then
+    # eagerly checkpoint the (small) pair list so the cache can be
+    # released before returning the lazy result.
+    own_pairs = pairs is None
+    if own_pairs and broadcast_sets:
+        sets_df = sets_df.persist()
+    if pairs is None:
+        pairs = minhash_candidate_pairs(
+            docs if not broadcast_sets else sets_df,
+            id_col,
+            text_col,
+            shingle_col="sh" if broadcast_sets else None,
+        )
     if broadcast_sets:
         # kernel path: ship the per-doc sorted shingle sets ONCE per worker
         # as a broadcast dict and stream only (id_a, id_b) pairs through a
@@ -151,7 +189,12 @@ def ngram_jaccard_pairs(
         # values are < 2^41 (max codepoint 0x10FFFF × Σ31^j ≈ 3.4e10), which
         # leaves room to bias values by pair-index·2^41 and run ONE global
         # searchsorted per batch instead of one per pair.
-        rows = list(sets_df.select(id_col, "sh").toLocalIterator())
+        # collect(), not toLocalIterator(): the iterator fetches (and
+        # computes) partitions one at a time — a serial shingling job per
+        # partition, measured 4.9s vs 1s for the same 5k-doc relation.
+        # Driver memory is already bounded by the SETS_BROADCAST_MAX_BYTES
+        # gate that routed us onto this path.
+        rows = sets_df.select(id_col, "sh").collect()
         counts = np.fromiter((len(r[1]) for r in rows), dtype=np.int64, count=len(rows))
         offs = np.concatenate([[0], np.cumsum(counts)])
         values = (
@@ -164,6 +207,12 @@ def ngram_jaccard_pairs(
         bc = docs.sparkSession.sparkContext.broadcast(
             {"counts": counts, "offs": offs, "values": values, "index": index}
         )
+        if own_pairs:
+            # materialize the (small) candidate list off the cached shingle
+            # sets, then release the cache — the returned DataFrame must
+            # not pin corpus-sized storage for its whole lazy lifetime
+            pairs = pairs.localCheckpoint(eager=True)
+            sets_df.unpersist()
         id_a_t = dict(pairs.dtypes)["id_a"]
         id_b_t = dict(pairs.dtypes)["id_b"]
         SHIFT = np.int64(1) << 41

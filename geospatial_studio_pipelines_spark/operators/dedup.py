@@ -551,6 +551,111 @@ def choose_hamming_blocks(
     return best_m
 
 
+def _subset_key_expr(
+    hash_c: Column, subset: tuple[int, ...], layout: list[tuple[int, int]]
+) -> Column:
+    """Concatenated block-subset key (shift/mask, pure codegen)."""
+    key, shift = None, 0
+    for b in subset:
+        off, w = layout[b]
+        piece = F.shiftright(hash_c, off).bitwiseAND(F.lit((1 << w) - 1))
+        if shift:
+            piece = F.shiftleft(piece, shift)
+        key = piece if key is None else key.bitwiseOR(piece)
+        shift += w
+    return key
+
+
+def _first_colliding_band(
+    xor_c: Column, layout: list[tuple[int, int]], subsets: list[tuple[int, ...]]
+) -> Column:
+    """Index of the FIRST table whose whole block subset collides for a pair
+    with hash-xor ``xor_c`` — a pure function of the pair, so filtering
+    ``band == first_colliding_band`` deduplicates multi-table emissions
+    without any shuffle. Every pair within the design radius collides in ≥1
+    table (the pigeonhole contract), so exactly one row survives."""
+    first = None
+    for t, s in reversed(list(enumerate(subsets))):
+        collides = None
+        for b in s:
+            off, w = layout[b]
+            zero = (
+                F.shiftright(xor_c, off).bitwiseAND(F.lit((1 << w) - 1)) == F.lit(0)
+            )
+            collides = zero if collides is None else collides & zero
+        first = F.lit(t) if first is None else F.when(collides, F.lit(t)).otherwise(first)
+    return first
+
+
+def banded_signatures(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int | None = None,
+    hot_bucket_limit: int | None = 1 << 16,
+) -> DataFrame:
+    """Manku multi-table banding of an int64 hash column → one row per
+    (table, key) posting: ``(id_col, sh, band, key)``. The shared front half
+    of every hamming-radius operator here (self-join near-dup, asymmetric
+    probe join, persistent index build) — banding once and joining many ways
+    is what makes the persistent-index path incremental. Geometry contract
+    and the hot-bucket guard are documented on :func:`hamming_near_dups`."""
+    if max_hamming is None:
+        max_hamming = bands - 1
+    _check_pigeonhole(max_hamming, bands)
+    layout = _hamming_block_layout(bits, bands)
+    subsets = list(itertools.combinations(range(bands), bands - max_hamming))
+    sig = df.select(F.col(id_col), F.col(hash_col).alias("sh"))
+    banded = sig.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("band"),
+                        _subset_key_expr(F.col("sh"), s, layout).alias("key"),
+                    )
+                    for t, s in enumerate(subsets)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "sh", "bk.band", "bk.key")
+    if hot_bucket_limit is not None:
+        # Lazy fail-loud guard: per-bucket count (map-side combine, tiny
+        # post-agg exchange) asserted at execution time. assert_true
+        # returns NULL on success, so the isNull filter keeps every bucket
+        # while forcing evaluation; the inner join back onto `banded` is an
+        # identity (every bucket is present) on the SAME (band, key) keys
+        # the candidate join shuffles on, so the exchange is reused.
+        counts = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_bc"))
+        ok = counts.filter(
+            F.assert_true(
+                F.col("_bc") <= F.lit(hot_bucket_limit),
+                F.concat(
+                    F.lit(
+                        f"banded_signatures: hot bucket exceeds hot_bucket_limit="
+                        f"{hot_bucket_limit} rows (band="
+                    ),
+                    F.col("band"), F.lit(", key="), F.col("key"),
+                    F.lit(", rows="), F.col("_bc"),
+                    F.lit(
+                        ") — run exact dedup first, widen band keys, or raise "
+                        "hot_bucket_limit"
+                    ),
+                ),
+            ).isNull()
+        ).select("band", "key")
+        # merge hint: the guard join must reuse the (band, key) exchange,
+        # never broadcast — `ok` has one row per DISTINCT bucket, which at
+        # wide keys (large `bands`) approaches tables*n rows; letting AQE
+        # broadcast it OOMs the driver (observed at m=5 / 4M rows).
+        banded = banded.join(ok.hint("merge"), ["band", "key"])
+    return banded
+
+
 def hamming_near_dups(
     df: DataFrame,
     hash_col: str,
@@ -588,12 +693,15 @@ def hamming_near_dups(
     ``bands - 1`` for integer ``bands``.
 
     Scale contract (r4 post-mortem): the ``bit_count(xor) <= max_hamming``
-    filter is applied INSIDE the join stage, BEFORE the pair-level
-    ``dropDuplicates`` — hamming is a pure function of the pair, so the
-    filter commutes with the dedup, and placed first it keeps the shuffled
-    intermediate at |result| instead of |candidates| (which is quadratic
-    per bucket: the unfiltered ordering shuffled 2.7e10 pairs at 4e6 rows
-    and killed the JVM).
+    filter is applied INSIDE the join stage — hamming is a pure function of
+    the pair, so it commutes with pair-level dedup, and placed first it
+    keeps the post-join intermediate at |result| instead of |candidates|
+    (which is quadratic per bucket: the unfiltered ordering shuffled 2.7e10
+    pairs at 4e6 rows and killed the JVM). Pair-level dedup itself is the
+    canonical-band filter (keep a pair only in the FIRST table whose block
+    subset collides — :func:`_first_colliding_band`), a pure expression in
+    the same stage: the whole operator is ONE shuffle (the (band, key)
+    candidate exchange), with no result-set ``dropDuplicates`` exchange.
 
     ``hot_bucket_limit`` (default 2^16 rows per (table, key) bucket) makes
     skewed key distributions fail LOUDLY instead of by quadratic blowup:
@@ -614,65 +722,12 @@ def hamming_near_dups(
     if max_hamming is None:
         max_hamming = bands - 1
     _check_pigeonhole(max_hamming, bands)
+    banded = banded_signatures(
+        df, hash_col, id_col=id_col, bits=bits, bands=bands,
+        max_hamming=max_hamming, hot_bucket_limit=hot_bucket_limit,
+    )
     layout = _hamming_block_layout(bits, bands)
     subsets = list(itertools.combinations(range(bands), bands - max_hamming))
-
-    def _key_expr(subset: tuple[int, ...]):
-        key, shift = None, 0
-        for b in subset:
-            off, w = layout[b]
-            piece = F.shiftright(F.col("sh"), off).bitwiseAND(F.lit((1 << w) - 1))
-            if shift:
-                piece = F.shiftleft(piece, shift)
-            key = piece if key is None else key.bitwiseOR(piece)
-            shift += w
-        return key
-
-    sig = df.select(F.col(id_col), F.col(hash_col).alias("sh"))
-    banded = sig.select(
-        id_col,
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("band"), _key_expr(s).alias("key")
-                    )
-                    for t, s in enumerate(subsets)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "sh", "bk.band", "bk.key")
-    if hot_bucket_limit is not None:
-        # Lazy fail-loud guard: per-bucket count (map-side combine, tiny
-        # post-agg exchange) asserted at execution time. assert_true
-        # returns NULL on success, so the isNull filter keeps every bucket
-        # while forcing evaluation; the inner join back onto `banded` is an
-        # identity (every bucket is present) on the SAME (band, key) keys
-        # the candidate join shuffles on, so the exchange is reused.
-        counts = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_bc"))
-        ok = counts.filter(
-            F.assert_true(
-                F.col("_bc") <= F.lit(hot_bucket_limit),
-                F.concat(
-                    F.lit(
-                        f"hamming_near_dups: hot bucket exceeds hot_bucket_limit="
-                        f"{hot_bucket_limit} rows (band="
-                    ),
-                    F.col("band"), F.lit(", key="), F.col("key"),
-                    F.lit(", rows="), F.col("_bc"),
-                    F.lit(
-                        ") — run exact dedup first, widen band keys, or raise "
-                        "hot_bucket_limit"
-                    ),
-                ),
-            ).isNull()
-        ).select("band", "key")
-        # merge hint: the guard join must reuse the (band, key) exchange,
-        # never broadcast — `ok` has one row per DISTINCT bucket, which at
-        # wide keys (large `bands`) approaches tables*n rows; letting AQE
-        # broadcast it OOMs the driver (observed at m=5 / 4M rows).
-        banded = banded.join(ok.hint("merge"), ["band", "key"])
     a = banded.select(
         F.col("band"), F.col("key"), F.col(id_col).alias("id_a"), F.col("sh").alias("sha")
     )
@@ -686,9 +741,20 @@ def hamming_near_dups(
         # rows) to every task — wrong at any scale worth running.
         a.join(b.hint("merge"), ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(ham <= F.lit(max_hamming))  # BEFORE dropDuplicates: see docstring
+        .filter(ham <= F.lit(max_hamming))  # BEFORE pair dedup: see docstring
+        # canonical-band filter replaces dropDuplicates([id_a, id_b]): a pair
+        # colliding in k tables is kept ONLY by the first — pure codegen on
+        # (band, sha^shb), so the pair-level dedup costs ZERO shuffles. At
+        # result sets worth talking about (10^9+ pairs at corpus scale) the
+        # dropDuplicates exchange this removes was the last non-essential
+        # shuffle in the plan.
+        .filter(
+            F.col("band")
+            == _first_colliding_band(
+                F.col("sha").bitwiseXOR(F.col("shb")), layout, subsets
+            )
+        )
         .select("id_a", "id_b", ham.alias("hamming"))
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 

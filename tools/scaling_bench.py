@@ -83,11 +83,18 @@ CALIB_SRC = (
     "    t0=time.perf_counter(); n=0\n"
     "    while time.perf_counter()-t0 < 2.0: np.matmul(a, a, out=c); n+=1\n"
     "    q.put(n*2*1200**3/(time.perf_counter()-t0)/1e9)\n"
-    "def bw(q):\n"  # bandwidth-dense: STREAM-triad over 64 MB arrays
+    "def bw(q):\n"  # bandwidth-dense: STREAM-triad over 64 MB arrays.
+    "    # Best of 3 x 0.7s trials: a single timed loop is one page-reclaim\n"
+    "    # stall away from nonsense (observed 0.3 GB/s -> ceiling 14.6 in a\n"
+    "    # window whose job numbers were sane); a max over short trials\n"
+    "    # measures the bandwidth actually AVAILABLE in the window.\n"
     "    n=8_000_000; b=np.ones(n); c=np.ones(n); a=np.empty(n); np.add(b,c,out=a)\n"
-    "    t0=time.perf_counter(); r=0\n"
-    "    while time.perf_counter()-t0 < 2.0: np.add(b,0.5*c,out=a); r+=1\n"
-    "    q.put(r*4*n*8/1e9/(time.perf_counter()-t0))\n"
+    "    best=0.0\n"
+    "    for _ in range(3):\n"
+    "        t0=time.perf_counter(); r=0\n"
+    "        while time.perf_counter()-t0 < 0.7: np.add(b,0.5*c,out=a); r+=1\n"
+    "        best=max(best, r*4*n*8/1e9/(time.perf_counter()-t0))\n"
+    "    q.put(best)\n"
     "k=int(sys.argv[1])\n"
     "out=[]\n"
     "for fn in (w, bw):\n"

@@ -18,6 +18,11 @@ Queries (the BASELINE.md bench plan):
                             hashes (the north-rule phash:int64 column):
                             Manku banding equi-join + bit_count(xor) verify,
                             pure codegen (no Python stage at all)
+  B10 phash_index_probe   — 400k-row batch probed against the PERSISTED
+                            4M-row bucketed hamming index (built once,
+                            untimed): the incremental-ingest shape — only
+                            the probe side shuffles, the corpus scan is
+                            bucketed with no Exchange
 
 Isolation (r3 judge directive #1): every query runs in its OWN subprocess
 with a fresh JVM — the r3 driver bench shared one JVM across the suite,
@@ -56,8 +61,13 @@ QUERY_NAMES = [
     "ann_topk",
     "ingest_validate",
     "phash_near_dups",
+    "phash_index_probe",
 ]
 N_PHASH = int(os.environ.get("SPARK_GRAFT_BENCH_PHASH_ROWS", "4000000"))
+N_PROBE = int(os.environ.get("SPARK_GRAFT_BENCH_PROBE_ROWS", "400000"))
+PHASH_IDX_DIR = os.environ.get(
+    "SPARK_GRAFT_BENCH_PHASH_IDX_DIR", "/tmp/gsp_bench_phash_idx"
+)
 
 
 def _materialize(df):
@@ -155,6 +165,46 @@ def run_one(spark, name: str) -> float:
             # candidates, vs m=4's 15-bit keys / ~1e9 candidates.
             return dedup.hamming_near_dups(
                 ph, "phash", id_col="image_id", bits=62, max_hamming=3, bands="auto"
+            )
+    elif name == "phash_index_probe":
+        from geospatial_studio_pipelines_spark.operators import hamming_index
+
+        # The incremental-ingest shape: the 4M-row corpus is banded and
+        # persisted ONCE as a (band, key)-bucketed table (untimed, reused
+        # across bench runs via a marker); the timed query probes a
+        # N_PROBE-row batch of perturbed phashes against it. At this batch
+        # size the probe takes the shuffled-hash path: only the probe side
+        # shuffles, the corpus scan is Bucketed: true with no Exchange —
+        # contrast with B9, which must re-shuffle all 4M rows every run.
+        def base_of(c):
+            return F.xxhash64(c).bitwiseAND(F.lit(2**62 - 1))
+
+        marker = os.path.join(PHASH_IDX_DIR, "MARKER.json")
+        want = {"n": N_PHASH, "v": 1}
+        if not (os.path.exists(marker) and json.load(open(marker)) == want):
+            import shutil
+
+            shutil.rmtree(PHASH_IDX_DIR, ignore_errors=True)
+            corpus = spark.range(0, N_PHASH, numPartitions=64).select(
+                F.col("id").alias("image_id"), base_of(F.col("id")).alias("phash")
+            )
+            hamming_index.write_hamming_index(
+                corpus, "gsp_bench_phash_idx", os.path.join(PHASH_IDX_DIR, "idx"),
+                hash_col="phash", bits=62, bands=4, max_hamming=3,
+            )
+            json.dump(want, open(marker, "w"))
+        # every probe row is a planted near-dup of some corpus row
+        # (2 bits flipped -> hamming 2); probes spread over the corpus
+        probe = spark.range(0, N_PROBE, numPartitions=16).select(
+            (F.col("id") + 100_000_000).alias("image_id"),
+            base_of(F.col("id") * (N_PHASH // N_PROBE) % N_PHASH)
+            .bitwiseXOR(F.lit((1 << 3) | (1 << 44))).alias("phash"),
+        ).localCheckpoint(eager=True)  # untimed: input generation
+
+        def build():
+            return hamming_index.probe_hamming_index(
+                spark, "gsp_bench_phash_idx", os.path.join(PHASH_IDX_DIR, "idx"),
+                probe, probe_rows=N_PROBE,
             )
     else:
         fn = {

@@ -682,6 +682,47 @@ Q_PHASH_NEAR_DUPS_SQL = dedup.hamming_near_dups_sql(
 )
 
 
+def q_phash_probe_join(spark, sf_dir):
+    """Asymmetric hamming probe (the incremental-ingest primitive behind
+    the persistent bucketed index, ``operators/hamming_index.py``): a small
+    batch of perturbed phashes probed against the full corpus →
+    (probe_id, corpus_id, hamming ≤ 3). Same md5-derived 60-bit phash and
+    Manku banding as ``phash_near_dups``; probe = every 7th doc with
+    ``doc_id % 8`` bits flipped, so hits span hamming 0..3 and every
+    planted pair must be recalled (pigeonhole contract)."""
+    from .operators import hamming_index
+
+    d = load(spark, sf_dir, "documents")
+    phash = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+    corpus = d.select(F.col("doc_id").alias("image_id"), phash.alias("phash"))
+    probe = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("image_id"),
+        phash.bitwiseXOR(F.col("doc_id") % 8).alias("phash"),
+    )
+    return hamming_index.hamming_join(
+        probe, corpus, "phash", bits=60, bands=4, max_hamming=3
+    ).orderBy("probe_id", "corpus_id")
+
+
+def _phash_probe_join_sql() -> str:
+    from .operators import hamming_index
+
+    return hamming_index.hamming_join_sql(
+        """SELECT doc_id + 1000000 AS image_id,
+              xor(CAST('0x' || substring(md5(text), 1, 15) AS BIGINT), doc_id % 8) AS phash
+       FROM documents WHERE doc_id % 7 = 0""",
+        """SELECT doc_id AS image_id,
+              CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS phash
+       FROM documents""",
+        bits=60,
+        bands=4,
+        max_hamming=3,
+    )
+
+
+Q_PHASH_PROBE_JOIN_SQL = _phash_probe_join_sql()
+
+
 def q_jaccard_near_dups(spark, sf_dir):
     """MinHash-LSH candidates → exact n-gram Jaccard ≥ 0.3 (shingle→minhash→
     band→bucket-join, then verify — the full near-dup pipeline)."""
@@ -1183,6 +1224,7 @@ QUERIES = {
     "simhash": (q_simhash, Q_SIMHASH_SQL),
     "simhash_near_dups": (q_simhash_near_dups, Q_SIMHASH_NEAR_DUPS_SQL),
     "phash_near_dups": (q_phash_near_dups, Q_PHASH_NEAR_DUPS_SQL),
+    "phash_probe_join": (q_phash_probe_join, Q_PHASH_PROBE_JOIN_SQL),
     "jaccard_near_dups": (q_jaccard_near_dups, Q_JACCARD_NEAR_DUPS_SQL),
     "ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
     "embedding_label_centroids": (q_embedding_label_centroid_sim, Q_EMBEDDING_LABEL_CENTROID_SIM_SQL),

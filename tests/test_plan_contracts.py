@@ -12,10 +12,11 @@ plan quietly dies. These tests pin the plan properties themselves:
   codegen only);
 * filter + column pruning reach the scan (PushedFilters / ReadSchema);
 * the broadcast spatial join plans with zero hash-partition exchanges;
-* the phash hamming near-dup applies the bit_count(xor) filter BELOW the
-  pair-dedup aggregate (the round-4 regression: dedup-before-filter
-  shuffled 27.2B unfiltered candidate pairs and killed the bench JVM —
-  VERDICT r4 "What's wrong #1").
+* the phash hamming near-dup keeps the bit_count(xor) filter in the join
+  stage and has NO pair-level dedup aggregate at all (canonical-band
+  filter; the round-4 regression — dedup-before-filter — shuffled 27.2B
+  unfiltered candidate pairs and killed the bench JVM, VERDICT r4
+  "What's wrong #1").
 """
 import importlib.util
 import os
@@ -119,19 +120,20 @@ def test_image_tile_join_broadcast_path_has_no_hash_exchange(spark):
     assert "Exchange hashpartitioning" not in join_sub
 
 
-def test_phash_near_dup_filters_before_pair_dedup(spark):
-    """The r4 bench-killer guard: in the optimized plan the cheap
-    bit_count(xor) hamming filter must execute BELOW (before) the
-    candidate-pair dedup aggregate, so the dedup shuffles only true
-    near-dup pairs, not the ~n²/2^w banded candidate stream. In Spark's
-    plan rendering children print after their parents, so the filter line
-    must appear at a larger string offset than the dedup node."""
+def test_phash_near_dup_pair_dedup_is_shuffle_free(spark):
+    """The r4 bench-killer guard, strengthened: the cheap bit_count(xor)
+    hamming filter must be IN the plan (the join stage filters candidates
+    before anything else touches them), and there must be NO pair-level
+    dedup aggregate at all — multi-table emissions are removed by the
+    canonical-band filter (a pure expression), so the only Aggregates left
+    are the hot-bucket guard's per-bucket counts. A dropDuplicates over
+    (id_a, id_b) reappearing would re-introduce a whole-result-set
+    exchange (and, ordered wrongly, the 27.2B-pair shuffle that killed the
+    r4 bench JVM)."""
     out = contracts.q_phash_near_dups(spark, SF_DIR)
     plan = _optimized(out)
     assert "bit_count" in plan, "hamming filter vanished from the plan"
-    dedup_pos = plan.find("Aggregate")
-    filter_pos = plan.rfind("bit_count")
-    assert dedup_pos != -1 and filter_pos > dedup_pos, (
-        "bit_count filter is not below the pair-dedup aggregate — "
-        "the dedup would shuffle every banded candidate pair"
+    assert "Aggregate [id_a" not in plan, (
+        "pair-level dedup aggregate reappeared — pair dedup must stay the "
+        "shuffle-free canonical-band filter"
     )

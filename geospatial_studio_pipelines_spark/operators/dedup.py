@@ -116,19 +116,69 @@ def minhash_candidate_pairs(
     """Distinct unordered candidate pairs sharing ≥1 LSH band bucket.
     The band self-join is the shuffle; a hot bucket (boilerplate text) is a
     skew risk — bound it by ``spark.sql.adaptive.skewJoin`` plus the
-    downstream exact-jaccard verify which is per-pair work."""
-    bands = minhash_bands(docs, id_col, text_col, shingle_col=shingle_col)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    downstream exact-jaccard verify which is per-pair work.
+
+    Pair-level dedup is the canonical-band filter (same device as
+    ``hamming_near_dups``): whether a pair collides in band b is a pure
+    function of the two signatures, so each banded row carries its full
+    8-int signature and a pair is kept only by the FIRST band where all
+    that band's components agree — no ``distinct()`` exchange over the
+    candidate stream. The trade is explicit: +64 B of signature payload
+    per banded row through the (band, key) exchange buys removing a whole
+    exchange+aggregate over the candidate stream, which in the regime LSH
+    dedup exists for (web corpora with 30-60% duplication and hot
+    boilerplate buckets) is the LARGER relation — and duplicate
+    candidates never reach the expensive jaccard-verify stage twice.
+    Band keys join as the raw int components (no concat_ws string build)."""
+    sig_cols = (
+        minhash_signature_from_shingles(F.col(shingle_col))
+        if shingle_col is not None
+        else minhash_signature(F.col(text_col))
+    )
+    n_bands = N_PERM // BAND_SIZE
+    sig = docs.select(F.col(id_col), *sig_cols).filter(F.col("mh0").isNotNull())
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bd).alias("band"),
+                *[
+                    F.col(f"mh{bd * BAND_SIZE + k}").alias(f"k{k}")
+                    for k in range(BAND_SIZE)
+                ],
+            )
+            for bd in range(n_bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh{j}") for j in range(N_PERM)]).alias("sig"),
+        F.explode(band_structs).alias("bk"),
+    ).select(
+        id_col, "sig", "bk.band", *[f"bk.k{k}" for k in range(BAND_SIZE)]
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    keys = ["band", *[f"k{k}" for k in range(BAND_SIZE)]]
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+
+    def _collides(bd):
+        c = None
+        for k in range(BAND_SIZE):
+            eq = F.col("a.sig")[bd * BAND_SIZE + k] == F.col("b.sig")[bd * BAND_SIZE + k]
+            c = eq if c is None else c & eq
+        return c
+
+    first = F.array_min(
+        F.array(
+            *[F.when(_collides(bd), F.lit(bd)).otherwise(F.lit(n_bands)) for bd in range(n_bands)]
         )
+    )
+    return (
+        a.join(b, cond)
+        .filter(F.col("a.band") == first)
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
     )
 
 

@@ -70,23 +70,29 @@ def with_lsh_bucket(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    with_all: bool = False,
 ) -> DataFrame:
     """Add (table, bucket) rows per vector: sign-bit signature per table.
     One Arrow-batched matmul per partition — the vectorized-UDF hot path.
     Output keeps the caller's ``id_col``/``vec_col`` names and types (the r2
     schema hardcoded vec_id/embedding, so the advertised parameters threw
-    KeyError — ADVICE fix)."""
+    KeyError — ADVICE fix). ``with_all`` adds a ``buckets`` column holding
+    the vector's bucket under EVERY table (the per-table matmuls are all
+    computed anyway) — what the canonical-table pair dedup in
+    ``lsh_near_dup_pairs`` compares."""
     planes = [hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     dtypes = dict(emb.dtypes)
     out_schema = f"{id_col} {dtypes[id_col]}, {vec_col} {dtypes[vec_col]}, table int, bucket long"
+    if with_all:
+        out_schema += ", buckets array<long>"
 
     def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            out = []
-            for t, pl in enumerate(planes):
+            per_table = []
+            for pl in planes:
                 # strict left-to-right accumulation over the vector index —
                 # NOT `mat @ pl` (BLAS blocks/reorders the summation): this
                 # keeps every dot product bit-identical to a SQL engine's
@@ -95,17 +101,21 @@ def with_lsh_bucket(
                 dots = np.zeros((mat.shape[0], pl.shape[1]))
                 for j in range(mat.shape[1]):
                     dots += mat[:, j : j + 1] * pl[j]
-                bucket = ((dots > 0) * (1 << np.arange(n_planes))).sum(axis=1)
-                out.append(
-                    pd.DataFrame(
-                        {
-                            id_col: pdf[id_col].to_numpy(),
-                            vec_col: pdf[vec_col].to_numpy(),
-                            "table": t,
-                            "bucket": bucket.astype(np.int64),
-                        }
-                    )
+                per_table.append(
+                    ((dots > 0) * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
                 )
+            all_buckets = np.stack(per_table, axis=1) if with_all else None
+            out = []
+            for t in range(len(planes)):
+                cols = {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col].to_numpy(),
+                    "table": t,
+                    "bucket": per_table[t],
+                }
+                if with_all:
+                    cols["buckets"] = list(all_buckets)
+                out.append(pd.DataFrame(cols))
             yield pd.concat(out, ignore_index=True)
 
     return emb.select(id_col, vec_col).mapInPandas(sig, out_schema)
@@ -231,13 +241,34 @@ def lsh_near_dup_pairs(
     the 4-planes × 8-tables default gives ≈1-(1-(1-θ/π)⁴)⁸ ≈ 0.99 recall at
     the near-dup regime (cos ≥ 0.9, pytest-gated); raise ``n_tables`` (or
     lower ``n_planes``) to trade compute for recall."""
-    buckets = with_lsh_bucket(emb, dim, n_planes, n_tables, id_col, vec_col)
-    a = buckets.select("table", "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = buckets.select("table", "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    buckets = with_lsh_bucket(emb, dim, n_planes, n_tables, id_col, vec_col, with_all=True)
+    a = buckets.select(
+        "table", "bucket", F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"), F.col("buckets").alias("ba"),
+    )
+    b = buckets.select(
+        "table", "bucket", F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"), F.col("buckets").alias("bb"),
+    )
+    # canonical-table filter instead of dropDuplicates([id_a, id_b]): which
+    # tables a pair collides in is a pure function of the two bucket
+    # signatures (carried as the `buckets` array), so keeping a pair only
+    # in the FIRST colliding table dedups multi-table emissions with zero
+    # extra shuffles — and a pair never reaches the cosine verify twice.
+    first = F.array_min(
+        F.array(
+            *[
+                F.when(F.col("ba")[t] == F.col("bb")[t], F.lit(t)).otherwise(
+                    F.lit(n_tables)
+                )
+                for t in range(n_tables)
+            ]
+        )
+    )
     cand = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("table") == first)
     )
     sim = F.round(cosine_expr("va", "vb"), 6)
     return cand.select("id_a", "id_b", sim.alias("cos_sim")).filter(

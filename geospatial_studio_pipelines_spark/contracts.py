@@ -597,7 +597,7 @@ def q_exact_dups(spark, sf_dir):
 
 
 Q_EXACT_DUPS_SQL = """
-SELECT substr(md5(text), 1, 16) AS fp, count(*) AS n_dups, min(doc_id) AS keeper_doc_id
+SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keeper_doc_id
 FROM (SELECT doc_id, text FROM documents
       UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50)
 GROUP BY 1 HAVING count(*) > 1 ORDER BY fp

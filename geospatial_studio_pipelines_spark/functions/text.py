@@ -160,13 +160,19 @@ def quality_score_sql(col: str) -> str:
 
 
 def fingerprint(text: Column) -> Column:
-    """64-bit document fingerprint = first 16 hex chars of md5 (md5 agrees
-    bit-for-bit across Spark/DuckDB; rolling-hash variant in dedup.shingles)."""
-    return F.substring(F.md5(text.cast("string")), 1, 16)
+    """Full 128-bit document fingerprint = the md5 hex digest (md5 agrees
+    bit-for-bit across Spark/DuckDB; rolling-hash variant in dedup.shingles).
+
+    Deliberately NOT truncated: a 64-bit fingerprint at the 10^12-doc design
+    scale expects ~C(n,2)/2^64 ≈ 2.7e4 birthday collisions, each one a unique
+    document silently deleted by the keeper semi-join. The streaming dedup
+    state (streaming/events.py) made the same call in r4; this keeps the
+    batch path (exact_duplicates, corpus_clean*) at the same width."""
+    return F.md5(text.cast("string"))
 
 
 def fingerprint_sql(col: str) -> str:
-    return f"substr(md5({col}), 1, 16)"
+    return f"md5({col})"
 
 
 # ---------------------------------------------- portable shingle hashing

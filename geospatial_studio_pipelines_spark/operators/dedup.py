@@ -31,10 +31,15 @@ BAND_SIZE = 2  # 4 bands of 2 → catches jaccard ≳ 0.5 pairs w.h.p.
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Exact dedup via hash-groupBy: md5 fingerprint → group → keep groups
-    with >1 member. Returns (fp, n_dups, min_doc_id)."""
+    """Exact dedup via hash-groupBy: full 128-bit md5 fingerprint → group →
+    keep groups with >1 member. Returns (fp, n_dups, min_doc_id).
+
+    Full-width md5, not a 64-bit truncation: at 10^12 docs a truncated
+    fingerprint expects ~2.7e4 birthday collisions — each a unique doc
+    silently merged into a duplicate group (same rationale as the
+    streaming dedup state in streaming/events.py)."""
     return (
-        docs.groupBy(F.substring(F.md5(F.col(text_col)), 1, 16).alias("fp"))
+        docs.groupBy(F.md5(F.col(text_col)).alias("fp"))
         .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper_doc_id"))
         .filter(F.col("n_dups") > 1)
     )

@@ -533,3 +533,45 @@ def test_choose_hamming_blocks_scales_with_n():
 def test_hamming_near_dups_auto_requires_max_hamming():
     with pytest.raises(ValueError, match="auto"):
         dedup.hamming_near_dups(None, "phash", bands="auto")
+
+
+def test_no_truncated_md5_fingerprint_on_any_dedup_path():
+    """Guardrail: every dedup fingerprint must be the full 128-bit md5.
+
+    A 64-bit truncation (``substring(md5(..), 1, 16)``) expects ~2.7e4
+    birthday collisions at the 10^12-doc design scale — each one a unique
+    document silently deleted by the keeper semi-join. The streaming path
+    fixed this in r4 (streaming/events.py); this test pins BOTH paths by
+    grepping the dedup-bearing sources for any truncated-md5 pattern and
+    by checking the runtime width of the fingerprint expression."""
+    import re
+    from pathlib import Path
+
+    import geospatial_studio_pipelines_spark as gsp
+
+    pkg = Path(gsp.__file__).parent
+    dedup_sources = [
+        pkg / "operators" / "dedup.py",
+        pkg / "functions" / "text.py",
+        pkg / "streaming" / "events.py",
+    ]
+    truncated = re.compile(r"substr(?:ing)?\s*\(\s*(?:F\.)?md5\s*\(")
+    for src in dedup_sources:
+        text = src.read_text()
+        hits = [
+            (i + 1, line)
+            for i, line in enumerate(text.splitlines())
+            if truncated.search(line)
+        ]
+        assert not hits, f"truncated md5 fingerprint in {src.name}: {hits}"
+    # the contracts exact-dedup/corpus-clean oracle SQL must be full-width too
+    from geospatial_studio_pipelines_spark import contracts
+
+    for sql_name in ("Q_EXACT_DUPS_SQL", "Q_CORPUS_CLEAN_SQL", "Q_CORPUS_CLEAN_CC_SQL"):
+        sql = getattr(contracts, sql_name)
+        assert not truncated.search(sql), f"truncated md5 in {sql_name}"
+
+
+def test_fingerprint_is_full_width(docs):
+    row = docs.select(T.fingerprint(F.col("text")).alias("fp")).first()
+    assert len(row.fp) == 32  # full md5 hex digest

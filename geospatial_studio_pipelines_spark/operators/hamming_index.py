@@ -204,6 +204,7 @@ def _meta_of(spark: SparkSession, path: str) -> dict:
     row = spark.read.json(f"{path}/{META_DIR}").first()
     if row is None:
         raise ValueError(f"no hamming-index sidecar under {path}")
+    d = row.asDict()
     return {
         "bits": int(row["bits"]),
         "bands": int(row["bands"]),
@@ -211,7 +212,20 @@ def _meta_of(spark: SparkSession, path: str) -> dict:
         "buckets": int(row["buckets"]),
         "id_col": row["id_col"],
         "hash_col": row["hash_col"],
+        # pre-r6 sidecars carry no id_type; they were only ever written
+        # with bigint ids, so that is the correct legacy default
+        "id_type": d.get("id_type") or "bigint",
     }
+
+
+def _norm_location(loc: str) -> str:
+    """Normalize a table/sidecar location for comparison: strip the
+    filesystem scheme prefix and any trailing slash."""
+    for scheme in ("file:", "hdfs:", "s3a:", "s3:", "gs:", "abfss:"):
+        if loc.startswith(scheme):
+            loc = loc[len(scheme):]
+            break
+    return "/" + loc.strip("/")
 
 
 def write_hamming_index(
@@ -258,6 +272,10 @@ def write_hamming_index(
     meta = {
         "bits": bits, "bands": bands, "max_hamming": max_hamming,
         "buckets": buckets, "id_col": id_col, "hash_col": hash_col,
+        # the id column's Spark DDL type — re-registration in a later
+        # session must declare the REAL schema (a hardcoded BIGINT would
+        # corrupt reads of e.g. string image ids)
+        "id_type": dict(df.dtypes)[id_col],
     }
     # sidecar written as a 1-row Spark job → works on any filesystem scheme
     spark.createDataFrame([meta]).coalesce(1).write.mode("overwrite").json(
@@ -268,19 +286,51 @@ def write_hamming_index(
 def register_hamming_index(spark: SparkSession, table: str, path: str) -> dict:
     """Recreate the catalog entry for an index directory written by an
     earlier session (the in-memory catalog forgets tables at JVM exit; on a
-    cluster with a persistent metastore this is a no-op). Idempotent.
+    cluster with a persistent metastore this is a no-op). Idempotent — but
+    if ``table`` already exists and points somewhere ELSE, or was created
+    with a different bucket layout, this raises instead of silently probing
+    the wrong corpus (``CREATE TABLE IF NOT EXISTS`` alone would keep the
+    stale entry). The id column type comes from the sidecar, not a
+    hardcoded BIGINT — string image ids round-trip across sessions.
     Returns the geometry meta."""
     meta = _meta_of(spark, path)
     idc = meta["id_col"]
+    if spark.catalog.tableExists(table):
+        _check_existing_table(spark, table, path, meta)
+        return meta
     spark.sql(
         f"""CREATE TABLE IF NOT EXISTS {table}
-        ({idc} BIGINT, sh BIGINT, band INT, key BIGINT)
+        ({idc} {meta['id_type'].upper()}, sh BIGINT, band INT, key BIGINT)
         USING PARQUET
         CLUSTERED BY (band, key) SORTED BY (band, key)
         INTO {meta['buckets']} BUCKETS
         LOCATION '{path}'"""
     )
     return meta
+
+
+def _check_existing_table(
+    spark: SparkSession, table: str, path: str, meta: dict
+) -> None:
+    """An existing catalog entry named ``table`` must actually be THIS
+    index: same location and same (band, key) bucket layout. Anything else
+    is a name collision that would silently probe the wrong corpus."""
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    }
+    loc = desc.get("Location", "")
+    if _norm_location(loc) != _norm_location(path):
+        raise ValueError(
+            f"table {table!r} already exists at location {loc!r}, not the "
+            f"requested index path {path!r} — drop it or pick another name"
+        )
+    n_buckets = desc.get("Num Buckets", "")
+    if n_buckets and int(n_buckets) != meta["buckets"]:
+        raise ValueError(
+            f"table {table!r} has {n_buckets} buckets but the index sidecar "
+            f"says {meta['buckets']} — catalog entry is stale; drop it"
+        )
 
 
 def append_hamming_index(df: DataFrame, table: str, path: str) -> None:

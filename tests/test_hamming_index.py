@@ -300,3 +300,73 @@ def test_self_join_canonical_band_counts(spark):
         )
         n = out.count()
         assert n == out.dropDuplicates(["id_a", "id_b"]).count()
+
+
+def test_string_id_round_trips_across_sessions(spark, index_dir):
+    """The north-rule images table has ``image_id: string``. The sidecar
+    must persist the id TYPE so cross-session re-registration declares the
+    real schema — a hardcoded BIGINT would corrupt or fail every probe."""
+    corpus = _corpus(spark, 2000).select(
+        F.concat(F.lit("img-"), F.col("image_id")).alias("image_id"), "phash"
+    )
+    hamming_index.write_hamming_index(
+        corpus, "t_sid", index_dir, hash_col="phash", bits=62, bands=4, buckets=8
+    )
+    # simulate a new JVM: the in-memory catalog forgets the table
+    spark.sql("DROP TABLE t_sid")
+    meta = hamming_index.register_hamming_index(spark, "t_sid", index_dir)
+    assert meta["id_type"] == "string"
+    assert dict(spark.table("t_sid").dtypes)["image_id"] == "string"
+    probe = _probe(spark, 25, 10).select(
+        F.concat(F.lit("probe-"), F.col("image_id")).alias("image_id"), "phash"
+    )
+    got = {
+        (r.probe_id, r.corpus_id)
+        for r in hamming_index.probe_hamming_index(
+            spark, "t_sid", index_dir, probe, probe_rows=35
+        ).collect()
+    }
+    # _probe row i carries corpus hash _mix(i*7 % n_hits) with 3 bits flipped
+    want = {(f"probe-{10_000_000 + i}", f"img-{i * 7 % 25}") for i in range(25)}
+    assert want <= got
+
+
+def test_register_rejects_table_at_other_location(spark, index_dir, tmp_path):
+    """IF NOT EXISTS must not silently keep a same-named table that points
+    at a DIFFERENT corpus — that probes the wrong data."""
+    hamming_index.write_hamming_index(
+        _corpus(spark, 500), "t_loc_a", str(tmp_path / "idx_a"),
+        hash_col="phash", bits=62, bands=4, buckets=8,
+    )
+    hamming_index.write_hamming_index(
+        _corpus(spark, 500), "t_loc_b", index_dir,
+        hash_col="phash", bits=62, bands=4, buckets=8,
+    )
+    with pytest.raises(ValueError, match="location"):
+        # ask to register t_loc_a but point it at t_loc_b's directory
+        hamming_index.register_hamming_index(spark, "t_loc_a", index_dir)
+    # same name + same location stays idempotent
+    meta = hamming_index.register_hamming_index(spark, "t_loc_b", index_dir)
+    assert meta["buckets"] == 8
+    spark.sql("DROP TABLE t_loc_a")
+    spark.sql("DROP TABLE t_loc_b")
+
+
+def test_legacy_sidecar_without_id_type_defaults_bigint(spark, index_dir):
+    """Pre-r6 sidecars carry no id_type field; they were only ever written
+    with bigint ids, so registration must fall back to BIGINT, not fail."""
+    hamming_index.write_hamming_index(
+        _corpus(spark, 300), "t_legacy", index_dir,
+        hash_col="phash", bits=62, bands=4, buckets=8,
+    )
+    # rewrite the sidecar WITHOUT the id_type field (what r5 wrote)
+    meta = hamming_index._meta_of(spark, index_dir)
+    legacy = {k: v for k, v in meta.items() if k != "id_type"}
+    spark.createDataFrame([legacy]).coalesce(1).write.mode("overwrite").json(
+        f"{index_dir}/{hamming_index.META_DIR}"
+    )
+    spark.sql("DROP TABLE t_legacy")
+    meta2 = hamming_index.register_hamming_index(spark, "t_legacy", index_dir)
+    assert meta2["id_type"] == "bigint"
+    assert dict(spark.table("t_legacy").dtypes)["image_id"] == "bigint"
+    spark.sql("DROP TABLE t_legacy")

@@ -181,7 +181,14 @@ def run_one(spark, name: str) -> float:
 
         marker = os.path.join(PHASH_IDX_DIR, "MARKER.json")
         want = {"n": N_PHASH, "v": 1}
-        if not (os.path.exists(marker) and json.load(open(marker)) == want):
+        # crash-safe reuse check: a child killed mid-write leaves a
+        # truncated marker — treat any unreadable marker as stale and
+        # rebuild rather than poisoning every later run
+        try:
+            have = json.load(open(marker))
+        except (OSError, ValueError):
+            have = None
+        if have != want:
             import shutil
 
             shutil.rmtree(PHASH_IDX_DIR, ignore_errors=True)
@@ -192,7 +199,12 @@ def run_one(spark, name: str) -> float:
                 corpus, "gsp_bench_phash_idx", os.path.join(PHASH_IDX_DIR, "idx"),
                 hash_col="phash", bits=62, bands=4, max_hamming=3,
             )
-            json.dump(want, open(marker, "w"))
+            # atomic publish: write-then-rename so no reader ever sees a
+            # partially written marker
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(want, fh)
+            os.replace(tmp, marker)
         # every probe row is a planted near-dup of some corpus row
         # (2 bits flipped -> hamming 2); probes spread over the corpus
         probe = spark.range(0, N_PROBE, numPartitions=16).select(

@@ -360,6 +360,77 @@ def append_hamming_index(df: DataFrame, table: str, path: str) -> None:
     )
 
 
+def compact_hamming_index(spark: SparkSession, table: str, path: str) -> dict:
+    """Rewrite the index's buckets in place, collapsing append debris.
+
+    Every :func:`append_hamming_index` adds ~``buckets`` new files (one per
+    written bucket); a daily ingest cycle accumulates small files until the
+    bucketed scan's per-file open/footer overhead dominates probe time.
+    Compaction rewrites each bucket's postings into a single sorted file —
+    identical layout (same bucket count, same (band, key) clustering, same
+    sidecar), so probe plans and results are unchanged; only the file count
+    drops back to ~``buckets``.
+
+    Mechanics: the postings are rewritten into a staging directory with the
+    SAME bucket spec, then swapped under ``path`` via the Hadoop FileSystem
+    API (works on any scheme Spark can reach). Bucket identity lives in the
+    part-file NAME (``..._00042.c000``), so moved files keep their bucket
+    mapping. The swap is delete-then-rename — not atomic; on a metastore
+    deployment this step is the transactional table swap (Iceberg/Delta
+    rewrite-files commit), and here a concurrent probe during the swap may
+    fail loudly and retry. The sidecar is untouched. Returns stats
+    ``{files_before, files_after, rows}``."""
+    meta = register_hamming_index(spark, table, path)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _part_files(d):
+        it = fs.listStatus(hpath(d))
+        return [
+            st.getPath() for st in it
+            if st.isFile() and st.getPath().getName().startswith("part-")
+        ]
+
+    before = _part_files(path)
+    staging_path = path.rstrip("/") + "__compacting"
+    staging_table = table + "__compacting"
+    fs.delete(hpath(staging_path), True)
+    spark.sql(f"DROP TABLE IF EXISTS {staging_table}")
+    # read the RAW parquet, not the catalog table: over the bucketed table
+    # the optimizer elides the repartition (bucketing already provides the
+    # distribution) and then auto-disables the bucketed scan, so the write
+    # runs on arbitrary file-grouped partitions and every task emits a file
+    # per bucket — the exact small-file debris compaction exists to remove.
+    # A plain scan keeps the explicit shuffle, aligning tasks 1:1 with
+    # buckets (~one output file each).
+    (
+        spark.read.parquet(path)
+        .repartition(meta["buckets"], "band", "key")
+        .write.format("parquet")
+        .bucketBy(meta["buckets"], "band", "key")
+        .sortBy("band", "key")
+        .option("path", staging_path)
+        .mode("overwrite")
+        .saveAsTable(staging_table)
+    )
+    rows = spark.table(staging_table).count()
+    spark.sql(f"DROP TABLE {staging_table}")  # external table: files remain
+    # swap: old part files out, compacted part files in (sidecar untouched)
+    for f in before:
+        fs.delete(f, False)
+    after = []
+    for f in _part_files(staging_path):
+        dest = hpath(path + "/" + f.getName())
+        if not fs.rename(f, dest):
+            raise IOError(f"compaction swap failed renaming {f} -> {dest}")
+        after.append(dest)
+    fs.delete(hpath(staging_path), True)
+    # refresh so the already-registered table sees the new file list
+    spark.sql(f"REFRESH TABLE {table}")
+    return {"files_before": len(before), "files_after": len(after), "rows": rows}
+
+
 def probe_hamming_index(
     spark: SparkSession,
     table: str,

@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 import zipfile
 
 from pyspark.sql import SparkSession
@@ -105,18 +106,36 @@ def _sweep_orphaned_local_dirs(path: str) -> None:
     its whole shuffle footprint resident (observed: 118 GiB of orphans from
     four dead benches starved every subsequent JVM into allocation-failure
     death). A running JVM cleans its own dirs on shutdown via its hook; this
-    sweep only handles dirs whose owner never got to run that hook. Gate:
+    sweep only handles dirs whose owner never got to run that hook. Gates:
     wipe only when NO java process is alive on the host — the single-host
-    twin of a cluster manager reaping app-scoped local dirs after app death.
+    twin of a cluster manager reaping app-scoped local dirs after app death
+    — AND only entries older than ``_SWEEP_MIN_AGE_SEC``. The age gate
+    closes the TOCTOU window between the liveness check and the rmtree: a
+    concurrent session that created its dirs but whose JVM has not exec'd
+    yet (back-to-back bench launches) has fresh mtimes and is skipped.
     Best-effort: any error leaves the dir for the next sweep."""
     try:
         if _any_java_alive():
             return  # a live JVM may own entries; don't touch
+        now = time.time()
         for entry in os.listdir(path):
-            if entry.startswith(("spark-", "blockmgr-")):
-                shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+            if not entry.startswith(("spark-", "blockmgr-")):
+                continue
+            full = os.path.join(path, entry)
+            try:
+                if now - os.stat(full).st_mtime < _SWEEP_MIN_AGE_SEC:
+                    continue  # too young — may belong to a JVM mid-launch
+            except OSError:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
     except OSError:
         pass
+
+
+#: orphan shuffle dirs younger than this are never swept — wide enough to
+#: cover any JVM-launch window, narrow enough that a crashed bench's tmpfs
+#: footprint is reclaimed before the next bench round needs the RAM
+_SWEEP_MIN_AGE_SEC = 600
 
 
 def _any_java_alive() -> bool:

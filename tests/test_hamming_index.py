@@ -370,3 +370,55 @@ def test_legacy_sidecar_without_id_type_defaults_bigint(spark, index_dir):
     assert meta2["id_type"] == "bigint"
     assert dict(spark.table("t_legacy").dtypes)["image_id"] == "bigint"
     spark.sql("DROP TABLE t_legacy")
+
+
+def test_compaction_preserves_probes_and_reduces_files(spark, index_dir):
+    """N appends accumulate ~buckets files each; compaction must collapse
+    them back to ~buckets files with IDENTICAL probe results."""
+    corpus = _corpus(spark, 2000)
+    hamming_index.write_hamming_index(
+        corpus, "t_cmp", index_dir, hash_col="phash", bits=62, bands=4, buckets=8
+    )
+    for k in range(3):
+        batch = spark.range(2000 + 500 * k, 2000 + 500 * (k + 1)).select(
+            F.col("id").alias("image_id"), _mix(F.col("id")).alias("phash")
+        )
+        hamming_index.append_hamming_index(batch, "t_cmp", index_dir)
+
+    probe = _probe(spark, 40, 20)
+    pre = {
+        (r.probe_id, r.corpus_id, r.hamming)
+        for r in hamming_index.probe_hamming_index(
+            spark, "t_cmp", index_dir, probe, probe_rows=60
+        ).collect()
+    }
+    stats = hamming_index.compact_hamming_index(spark, "t_cmp", index_dir)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= 8  # back to ~one file per bucket
+    assert stats["rows"] > 0
+    post = {
+        (r.probe_id, r.corpus_id, r.hamming)
+        for r in hamming_index.probe_hamming_index(
+            spark, "t_cmp", index_dir, probe, probe_rows=60
+        ).collect()
+    }
+    assert post == pre
+    # the corpus-side scan must still be the exchange-free bucketed scan
+    out = hamming_index.probe_hamming_index(
+        spark, "t_cmp", index_dir, probe, probe_rows=10**9
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan[plan.find("FileScan parquet"):]
+    # appended rows are still probe-visible after compaction
+    probe2 = spark.range(2500, 2550).select(
+        (F.col("id") + 40_000_000).alias("image_id"),
+        _mix(F.col("id")).bitwiseXOR(F.lit(1 << 20)).alias("phash"),
+    )
+    got2 = {
+        (r.probe_id, r.corpus_id)
+        for r in hamming_index.probe_hamming_index(
+            spark, "t_cmp", index_dir, probe2, probe_rows=50
+        ).collect()
+    }
+    assert {(i + 40_000_000, i) for i in range(2500, 2550)} <= got2
+    spark.sql("DROP TABLE t_cmp")

@@ -575,3 +575,33 @@ def test_no_truncated_md5_fingerprint_on_any_dedup_path():
 def test_fingerprint_is_full_width(docs):
     row = docs.select(T.fingerprint(F.col("text")).alias("fp")).first()
     assert len(row.fp) == 32  # full md5 hex digest
+
+
+def test_embedding_near_dups_n_rows_hint_skips_count(spark):
+    """method='auto' with an n_rows hint must not run a count() job over
+    the corpus (at design scale that is a full 10^12-row scan before any
+    work). Instance-patch count to prove it is never called."""
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.count = lambda: (_ for _ in ()).throw(AssertionError("count() called"))
+    got = dedup.embedding_near_dups(df, threshold=0.95, n_rows=3).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+    # a large hint must route to LSH (which never needs the exact count)
+    out = dedup.embedding_near_dups(
+        df, threshold=0.95, n_rows=dedup.BRUTE_PAIRS_MAX_ROWS + 1
+    )
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(1, 2)}
+
+
+def test_connected_components_long_chain_logarithmic_rounds(spark):
+    """High-diameter posture: pointer doubling must converge a 60-link
+    chain (diameter 60) in O(log d) rounds — max_iter=10 suffices where
+    plain propagation would need 60+ and previously raised."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: r.component
+        for r in dedup.connected_components(pairs, max_iter=10).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 61

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from .functions import text as T
 from .functions.spatial import hex_cell, hex_cell_sql
-from .operators import dedup, knn, similarity, tiling
+from .operators import cleaning, dedup, knn, similarity, tiling
 
 KNUTH = 2654435761
 
@@ -1078,34 +1078,19 @@ FROM z ORDER BY id
 Q_UTM_FOOTPRINTS_SQL = _utm_footprints_sql()
 
 
-def _corpus_uniq(spark, sf_dir):
-    """Shared head of the cleaning pipeline: quality gate → language ID →
-    exact dedup (keep min doc_id per md5 fingerprint)."""
-    d = load(spark, sf_dir, "documents")
-    scored = d.select(
-        "doc_id",
-        "text",
-        T.lang_id(F.col("text")).alias("lang_id"),
-        T.quality_score(F.col("text")).alias("quality"),
-        T.fingerprint(F.col("text")).alias("fp"),
-    ).filter(F.col("quality") >= 0.6)
-    keepers = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-    return scored.join(keepers, "doc_id", "left_semi")
-
-
 def q_corpus_clean(spark, sf_dir):
     """The end-to-end training-data cleaning pipeline as ONE oracle-gated
     query: quality gate → language ID → exact dedup (keep min doc_id per
-    md5 fingerprint) → MinHash-LSH near-dup drop (jaccard ≥ 0.5, the
+    full-md5 fingerprint) → MinHash-LSH near-dup drop (jaccard ≥ 0.5, the
     HIGHER id of each pair dropped — a deterministic one-pass policy, not
     a transitive closure; documented contract, mirrored in SQL; see
-    ``q_corpus_clean_cc`` for the components policy). Returns the
-    surviving corpus with its quality/language metadata."""
-    uniq = _corpus_uniq(spark, sf_dir)
-    pairs = dedup.ngram_jaccard_pairs(uniq.select("doc_id", "text"), threshold=0.5)
-    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    ``q_corpus_clean_cc`` for the components policy). Delegates to the
+    public ``operators.cleaning.clean_corpus`` operator, so the DuckDB
+    oracle row gates that module directly. Returns the surviving corpus
+    with its quality/language metadata."""
+    d = load(spark, sf_dir, "documents")
     return (
-        uniq.join(dropped, "doc_id", "left_anti")
+        cleaning.clean_corpus(d, policy="pairs")
         .select("doc_id", "lang_id", "quality")
         .orderBy("doc_id")
     )
@@ -1116,15 +1101,13 @@ def q_corpus_clean_cc(spark, sf_dir):
     standard transitive-closure keeper selection at scale): union-find over
     the ≥0.5-jaccard pair graph, keep the MIN doc_id per component — A~B,
     B~C drops B and C in favor of A even though A and C were never paired
-    (the one-pass policy keeps no guarantee about chains). Distributed
+    (the one-pass policy keeps no guarantee about chains). Pointer-doubled
     min-label propagation (``dedup.connected_components``); oracled in
-    DuckDB by a recursive-CTE reachability fixpoint."""
-    uniq = _corpus_uniq(spark, sf_dir)
-    pairs = dedup.ngram_jaccard_pairs(uniq.select("doc_id", "text"), threshold=0.5)
-    cc = dedup.connected_components(pairs)
-    dropped = cc.filter(F.col("component") != F.col("doc_id")).select("doc_id")
+    DuckDB by a recursive-CTE reachability fixpoint. Delegates to
+    ``operators.cleaning.clean_corpus``."""
+    d = load(spark, sf_dir, "documents")
     return (
-        uniq.join(dropped, "doc_id", "left_anti")
+        cleaning.clean_corpus(d, policy="cc")
         .select("doc_id", "lang_id", "quality")
         .orderBy("doc_id")
     )

@@ -58,7 +58,16 @@ N_META = int(os.environ.get("SPARK_GRAFT_SCALE_META_IMAGES", "16000000"))
 N_PART_JOIN = int(os.environ.get("SPARK_GRAFT_SCALE_PART_IMAGES", "16000000"))
 N_AOIS = 500
 PHASE_ROUNDS = int(os.environ.get("SPARK_GRAFT_PHASE_ROUNDS", "2"))  # lo/hi phases interleaved; min per phase
-JOBS = ["image_decode_stats", "image_tile_join", "partitioned_join"]
+#: rows for the dedup-family scaling job (matches B9's official size)
+N_DEDUP = int(os.environ.get("SPARK_GRAFT_SCALE_DEDUP_ROWS", "4000000"))
+#: job list is env-selectable so a dedup-only measurement session doesn't
+#: re-run (or clobber the records of) the three spatial jobs
+JOBS = os.environ.get(
+    "SPARK_GRAFT_SCALE_JOBS",
+    "image_decode_stats,image_tile_join,partitioned_join",
+).split(",")
+#: output file under BENCH/ — a dedup session writes its own record
+OUT_NAME = os.environ.get("SPARK_GRAFT_SCALE_OUT", "scaling.json")
 # extra interleaved rounds for specific jobs (r3 judge: the marginal
 # partitioned_join 4→16 median needs n≥3 without tripling the whole suite):
 # e.g. SPARK_GRAFT_SCALE_EXTRA_ROUNDS="partitioned_join:2"
@@ -169,7 +178,7 @@ from pyspark.sql import functions as F
 from geospatial_studio_pipelines_spark.session import spark_session
 from geospatial_studio_pipelines_spark import datagen
 from geospatial_studio_pipelines_spark.functions import spatial as S
-from geospatial_studio_pipelines_spark.operators import footprints, raster, spatial_join, tiling
+from geospatial_studio_pipelines_spark.operators import dedup, footprints, raster, spatial_join, tiling
 
 cores, input_dir, n_part, job_name = int(sys.argv[1]), sys.argv[2], int(sys.argv[3]), sys.argv[4]
 spark = spark_session(app_name=f"scale-{cores}", master=f"local[{cores}]",
@@ -201,6 +210,12 @@ aois_int["aoi_id"] = aois_int["aoi_id"].str.slice(4).astype("int64")
 small = footprints.with_footprint(datagen.images_df(spark, 4 * cores, partitions=cores))
 materialize(raster.decode_stats(datagen.images_df(spark, 4 * cores, partitions=cores)))
 materialize(spatial_join.broadcast_spatial_join(small, datagen.aoi_pdf(16)))
+if job_name == "phash_near_dups":  # codegen + banding warmup for the dedup job
+    materialize(dedup.hamming_near_dups(
+        spark.range(2000).select(
+            F.col("id"),
+            F.xxhash64("id").bitwiseAND(F.lit(2**62 - 1)).alias("ph")),
+        "ph", id_col="id", bits=62, max_hamming=3, bands=4))
 
 def set_batch(rows):
     # Arrow rows/batch: small for decoded-pixel UDFs (bounds executor
@@ -233,6 +248,27 @@ def job_tile_join():
     return spatial_join.broadcast_spatial_join(
         fp, aois_int, extra_cols=("cell_id", "res"), id_col="id")
 
+def job_phash_dedup():
+    # B9's shape over pre-materialized input: full-width avalanche phash
+    # (xxhash64 of the id column, same derivation both levels), Manku
+    # auto-geometry banding, ONE (band, key) shuffle, bit_count verify in
+    # the join stage, canonical-band pair dedup. n_rows hint: geometry must
+    # be chosen identically at both core counts without a count() job.
+    n_dedup = int(os.environ.get("SPARK_GRAFT_SCALE_DEDUP_ROWS", "4000000"))
+    n_meta_total = int(os.environ.get("SPARK_GRAFT_SCALE_META_IMAGES", "16000000"))
+    # the id-filter prunes row groups to ~n_dedup/n_meta of the dir; size
+    # splits off the bytes actually read so the scan still runs >=4 waves
+    target = max(cores * 4, 64)
+    frac_bytes = int(dir_bytes(meta_dir) * min(1.0, n_dedup / n_meta_total))
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+                   str(max(262144, frac_bytes // target)))
+    df = (spark.read.parquet(meta_dir)
+          .filter(F.col("id") < n_dedup)
+          .select("id", F.xxhash64("id").bitwiseAND(F.lit(2**62 - 1)).alias("ph")))
+    return dedup.hamming_near_dups(
+        df, "ph", id_col="id", bits=62, max_hamming=3, bands="auto",
+        n_rows=n_dedup)
+
 def job_partitioned():
     set_splits(meta_dir)
     set_batch(16384)
@@ -257,6 +293,7 @@ def job_partitioned():
     return spatial_join.partitioned_spatial_join(fp, aoi_num, res=5, id_col="id")
 
 fn = {"image_decode_stats": job_decode,
+      "phash_near_dups": job_phash_dedup,
       "image_tile_join": job_tile_join,
       "partitioned_join": job_partitioned}[job_name]
 # build once, materialize twice, report the min: run 1 carries the
@@ -293,6 +330,7 @@ def run_worker(script: str, args: list[str], timeout: int = 3600, pin_cores: int
 
 JOB_N = {
     "image_decode_stats": ("images", N_BYTES),
+    "phash_near_dups": ("images", N_DEDUP),
     "image_tile_join": ("images", N_META),
     "partitioned_join": ("images", N_PART_JOIN),
 }
@@ -388,9 +426,10 @@ def main():
     out = {"pairs": reports} if len(reports) > 1 else reports[0]
     print(json.dumps(out, indent=2))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", OUT_NAME), "w") as f:
         json.dump(out, f, indent=2)
-    _write_md(reports)
+    if OUT_NAME == "scaling.json":
+        _write_md(reports)
 
 
 def _write_md_pair(report: dict) -> list[str]:

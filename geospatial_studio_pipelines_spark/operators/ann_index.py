@@ -106,6 +106,64 @@ def append_ivf_index(new_emb: DataFrame, path: str) -> None:
     assigned.write.partitionBy("list").mode("append").parquet(path)
 
 
+def compact_ivf_index(spark: SparkSession, path: str) -> dict:
+    """Rewrite each inverted list's parquet files in place, collapsing
+    append debris (every :func:`append_ivf_index` adds one-plus files per
+    touched list; daily ingest cycles accumulate small files until the
+    pruned probe scan pays per-file open overhead on hundreds of shards per
+    list). Layout, sidecar, and probe results are unchanged — only the file
+    count per ``list=`` directory drops.
+
+    Same staging-then-swap mechanics as
+    ``hamming_index.compact_hamming_index`` (Hadoop FS API, any scheme;
+    the swap is per-list delete-then-rename — on a metastore deployment
+    this is the transactional rewrite-files commit). Returns
+    ``{files_before, files_after, rows}``."""
+    meta, _ = _load_meta(spark, path)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _list_dirs():
+        return [
+            st.getPath() for st in fs.listStatus(hpath(path))
+            if st.isDirectory() and st.getPath().getName().startswith("list=")
+        ]
+
+    def _part_files(d):
+        return [
+            st.getPath() for st in fs.listStatus(d)
+            if st.isFile() and st.getPath().getName().startswith("part-")
+        ]
+
+    before = {str(d): _part_files(d) for d in _list_dirs()}
+    staging = path.rstrip("/") + "__compacting"
+    fs.delete(hpath(staging), True)
+    df = spark.read.parquet(path)
+    rows = df.count()
+    # one output file per list: repartition on the partition column so each
+    # task owns whole lists (the write splits them back into list= dirs)
+    df.repartition(meta["nlist"], "list").write.partitionBy("list").mode(
+        "overwrite"
+    ).parquet(staging)
+    n_before = sum(len(v) for v in before.values())
+    n_after = 0
+    for d in _list_dirs():
+        name = d.getName()
+        staged = hpath(staging + "/" + name)
+        if not fs.exists(staged):
+            continue  # empty list after compaction read — leave as is
+        for f in before[str(d)]:
+            fs.delete(f, False)
+        for f in _part_files(staged):
+            dest = hpath(str(d) + "/" + f.getName())
+            if not fs.rename(f, dest):
+                raise IOError(f"IVF compaction swap failed: {f} -> {dest}")
+            n_after += 1
+    fs.delete(hpath(staging), True)
+    return {"files_before": n_before, "files_after": n_after, "rows": rows}
+
+
 def probe_ivf_index(
     spark: SparkSession,
     path: str,

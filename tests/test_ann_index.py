@@ -104,3 +104,32 @@ def test_probe_missing_sidecar_raises(spark, tmp_path_factory):
     os.makedirs(f"{path}/{ann_index.META_DIR}/meta", exist_ok=True)
     with pytest.raises(Exception):
         ann_index._load_meta(spark, path)
+
+
+def test_compaction_preserves_probes_and_reduces_files(spark, emb, tmp_path_factory):
+    """N appends accumulate files per list= dir; compaction must collapse
+    them to ~one file per list with IDENTICAL probe results (exhaustive
+    nprobe=nlist probe pinned before/after)."""
+    path = str(tmp_path_factory.mktemp("ivf") / "idx")
+    ann_index.write_ivf_index(emb, path, nlist=8, dim=64)
+    for k in range(3):
+        batch = emb.filter(F.col("vec_id") < 30).select(
+            (F.col("vec_id") + 10_000 * (k + 1)).alias("vec_id"), "embedding"
+        )
+        ann_index.append_ivf_index(batch, path)
+    queries = emb.limit(40)
+    pre = _key(ann_index.probe_ivf_index(spark, path, queries, k=5, nprobe=8).collect())
+    stats = ann_index.compact_ivf_index(spark, path)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= 8  # ~one file per inverted list
+    assert stats["rows"] > 0
+    post = _key(ann_index.probe_ivf_index(spark, path, queries, k=5, nprobe=8).collect())
+    assert post == pre
+    # partition pruning still works on the compacted layout (inputFiles()
+    # reports the unpruned relation — assert on the scan's PartitionFilters)
+    probe1 = ann_index.probe_ivf_index(spark, path, queries.limit(3), k=3, nprobe=1)
+    plan = probe1._jdf.queryExecution().executedPlan().toString()
+    pf = plan[plan.find("PartitionFilters: ["):]
+    pf = pf[: pf.find("]") + 1]
+    assert pf.startswith("PartitionFilters: [") and "list" in pf
+    assert pf != "PartitionFilters: []"

@@ -256,6 +256,13 @@ def job_phash_dedup():
     # be chosen identically at both core counts without a count() job.
     n_dedup = int(os.environ.get("SPARK_GRAFT_SCALE_DEDUP_ROWS", "4000000"))
     n_meta_total = int(os.environ.get("SPARK_GRAFT_SCALE_META_IMAGES", "16000000"))
+    # byte-based reduce sizing: the banding exchange is ~35 B x C(m,h) x n
+    # rows at BOTH levels, so fixed bytes/partition gives each level the
+    # same per-task work and enough waves to amortize stragglers (2*cores
+    # partitions = 2 waves, which measures the max task, not the mean)
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(64, 4 * cores)))
     # the id-filter prunes row groups to ~n_dedup/n_meta of the dir; size
     # splits off the bytes actually read so the scan still runs >=4 waves
     target = max(cores * 4, 64)

@@ -199,3 +199,87 @@ def label_pdf(n_images: int) -> pd.DataFrame:
 
 def label_df(spark: SparkSession, n_images: int) -> DataFrame:
     return spark.createDataFrame(label_pdf(n_images), schema=LABEL_SCHEMA)
+
+
+DOCUMENTS_SCHEMA = "doc_id long, text string"
+
+#: vocabulary size for synthetic documents; words are drawn UNIFORMLY —
+#: unrelated docs then share ~2 of ~90 words, so their character-shingle
+#: Jaccard stays ≪ any verify threshold and LSH candidates are the planted
+#: pairs plus a realistic trickle of band collisions (a skewed draw, or a
+#: low-entropy spelling like "w0042", makes every doc pair a candidate:
+#: measured candidates ~n² and a 20× slower verify stage)
+_DOC_VOCAB = 5000
+#: every doc whose ordinal is ≡1 (mod 20) is a near-duplicate of the
+#: previous doc: same word stream with one word in ~30 replaced — Jaccard
+#: well above any verify threshold, deterministic at any scale
+_DOC_DUP_STRIDE = 20
+_VOCAB_CACHE: "list[str] | None" = None
+
+
+def _doc_vocab() -> "list[str]":
+    """5000 deterministic pseudo-words, 5–8 lowercase letters each, spelled
+    from avalanche-mixed bits — diverse character 4-grams (the shingle unit
+    of functions/text.py) both inside words and across word boundaries."""
+    global _VOCAB_CACHE
+    if _VOCAB_CACHE is None:
+        v = np.arange(_DOC_VOCAB, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h = v * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(31)
+            h *= np.uint64(0x94D049BB133111EB)
+            h ^= h >> np.uint64(29)
+        words = []
+        for x in h:
+            n = 5 + int(x % np.uint64(4))
+            x = int(x) >> 2
+            words.append("".join(chr(97 + (x >> (5 * j)) % 26) for j in range(n)))
+        _VOCAB_CACHE = words
+    return _VOCAB_CACHE
+
+
+def _doc_word_ids(base_id: np.ndarray, length: np.ndarray) -> "list[np.ndarray]":
+    """Word-id stream per base doc id: word j of doc i is a pure function
+    of (i, j) via 64-bit avalanche mixing, uniform over the vocabulary."""
+    out = []
+    with np.errstate(over="ignore"):  # uint64 wraparound is the mixer
+        for i, n in zip(base_id.astype(np.uint64), length):
+            j = np.arange(n, dtype=np.uint64)
+            h = i * np.uint64(0x9E3779B97F4A7C15) + j * np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(31)
+            h *= np.uint64(0x94D049BB133111EB)
+            h ^= h >> np.uint64(29)
+            out.append((h % np.uint64(_DOC_VOCAB)).astype(np.int64))
+    return out
+
+
+def documents_pdf_batch(ids: np.ndarray) -> pd.DataFrame:
+    """One Arrow batch of synthetic documents (vectorized; see documents_df)."""
+    ids = ids.astype(np.int64)
+    vocab = _doc_vocab()
+    is_dup = (ids % _DOC_DUP_STRIDE) == 1
+    base = np.where(is_dup, ids - 1, ids)
+    with np.errstate(over="ignore"):
+        length = 30 + (base.astype(np.uint64) * np.uint64(0xD6E8FEB86659FD93) >> np.uint64(40)) % np.uint64(120)
+    streams = _doc_word_ids(base, length.astype(np.int64))
+    texts = []
+    for k, w in enumerate(streams):
+        if is_dup[k]:
+            w = w.copy()
+            w[::30] = (w[::30] + 1) % _DOC_VOCAB  # mutate ~1/30 of words
+        texts.append(" ".join(vocab[v] for v in w))
+    return pd.DataFrame({"doc_id": ids, "text": texts})
+
+
+def documents_df(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """Synthetic ``documents(doc_id, text)`` table, generated distributed
+    (mapInPandas over ``spark.range``) and fully deterministic per row —
+    the dedup-family scaling input (tools/scaling_bench.py). ~5% of docs
+    are planted near-duplicates of their predecessor."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield documents_pdf_batch(pdf["id"].to_numpy())
+
+    rng = spark.range(0, n, numPartitions=partitions) if partitions else spark.range(0, n)
+    return rng.mapInPandas(gen, DOCUMENTS_SCHEMA)

@@ -605,3 +605,51 @@ def test_connected_components_long_chain_logarithmic_rounds(spark):
         for r in dedup.connected_components(pairs, max_iter=10).collect()
     }
     assert set(got.values()) == {0} and len(got) == 61
+
+
+# ---------------------------------------------------------- synthetic docs
+
+
+def test_documents_generator_deterministic_and_separable():
+    """The scaling-bench corpus generator: byte-identical on re-run (executor
+    retries must regenerate identical rows), planted near-dups share ~97% of
+    their words, and random pairs have character-shingle Jaccard far below
+    any verify threshold (a low-entropy spelling here once made candidates
+    ~n² and slowed the verify stage 20×)."""
+    import numpy as np
+
+    from geospatial_studio_pipelines_spark import datagen
+
+    a = datagen.documents_pdf_batch(np.arange(0, 400))
+    b = datagen.documents_pdf_batch(np.arange(0, 400))
+    assert a.equals(b)
+    assert list(a.columns) == ["doc_id", "text"]
+
+    def shingles(t, k=4):
+        return {t[i : i + k] for i in range(len(t) - k + 1)}
+
+    # planted dup: doc 1 is a mutation of doc 0
+    d0, d1 = shingles(a.text[0]), shingles(a.text[1])
+    assert len(d0 & d1) / len(d0 | d1) > 0.8
+    # random pairs: shingle Jaccard ≪ 0.3 (LSH candidates stay ~planted)
+    js = []
+    for i in range(2, 300, 7):
+        x, y = shingles(a.text[i]), shingles(a.text[i + 2])
+        js.append(len(x & y) / len(x | y))
+    assert max(js) < 0.15 and sum(js) / len(js) < 0.03
+
+
+def test_documents_df_planted_dups_found(spark):
+    """End-to-end over the generated corpus: ngram_jaccard_pairs (the B6
+    family) finds exactly the planted (base, base+1) pairs on the shuffled
+    join path — the path the scaling bench measures."""
+    from geospatial_studio_pipelines_spark import datagen
+    from geospatial_studio_pipelines_spark.operators import dedup
+
+    docs = datagen.documents_df(spark, 400, partitions=4)
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.3, broadcast_sets=False)
+    rows = {(r.id_a, r.id_b) for r in out.collect()}
+    planted = {(i, i + 1) for i in range(0, 400, datagen._DOC_DUP_STRIDE)}
+    assert planted <= rows
+    # no random-pair false positives at this threshold
+    assert rows == planted

@@ -13,7 +13,12 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "BENCH", "scaling_dedup.json")
+#: which dedup-family jobs to measure per window (comma-separated names
+#: from tools/scaling_bench.py: phash_near_dups, minhash_near_dups)
+JOBS = os.environ.get("QW_JOBS", "phash_near_dups")
+#: output/archive naming: scaling_<prefix>.json + <prefix>_window_NN.json
+PREFIX = os.environ.get("QW_PREFIX", "dedup")
+OUT = os.path.join(REPO, "BENCH", f"scaling_{PREFIX}.json")
 WINDOWS_DIR = os.path.join(REPO, "BENCH", "windows")
 DEADLINE = time.time() + float(os.environ.get("QW_DEADLINE_MIN", "60")) * 60
 MAX_WINDOWS = int(os.environ.get("QW_MAX_WINDOWS", "2"))
@@ -56,8 +61,8 @@ def main():
             continue
         env = dict(os.environ)
         env.update(
-            SPARK_GRAFT_SCALE_JOBS="phash_near_dups",
-            SPARK_GRAFT_SCALE_OUT="scaling_dedup.json",
+            SPARK_GRAFT_SCALE_JOBS=JOBS,
+            SPARK_GRAFT_SCALE_OUT=f"scaling_{PREFIX}.json",
             SPARK_GRAFT_SCALE_PAIRS="4:16",
             SPARK_GRAFT_PHASE_ROUNDS="3",
         )
@@ -66,14 +71,15 @@ def main():
             env=env, timeout=3600,
         )
         os.makedirs(WINDOWS_DIR, exist_ok=True)
-        n = len(glob.glob(os.path.join(WINDOWS_DIR, "dedup_window_*.json")))
-        dst = os.path.join(WINDOWS_DIR, f"dedup_window_{n:02d}.json")
+        n = len(glob.glob(os.path.join(WINDOWS_DIR, f"{PREFIX}_window_*.json")))
+        dst = os.path.join(WINDOWS_DIR, f"{PREFIX}_window_{n:02d}.json")
         json.dump(json.load(open(OUT)), open(dst, "w"), indent=2)
         r = json.load(open(dst))
-        print(f"[dedup-watch] window {n}: eff "
-              f"{r['phash_near_dups']['efficiency']} median "
-              f"{r['phash_near_dups']['efficiency_median']} membw-ceiling "
-              f"{r['calibration']['membw_efficiency_ceiling']}", flush=True)
+        for job in JOBS.split(","):
+            print(f"[dedup-watch] window {n} {job}: eff "
+                  f"{r[job]['efficiency']} median "
+                  f"{r[job]['efficiency_median']} membw-ceiling "
+                  f"{r['calibration']['membw_efficiency_ceiling']}", flush=True)
         windows += 1
     print("[dedup-watch] done", flush=True)
 

@@ -60,6 +60,11 @@ N_AOIS = 500
 PHASE_ROUNDS = int(os.environ.get("SPARK_GRAFT_PHASE_ROUNDS", "2"))  # lo/hi phases interleaved; min per phase
 #: rows for the dedup-family scaling job (matches B9's official size)
 N_DEDUP = int(os.environ.get("SPARK_GRAFT_SCALE_DEDUP_ROWS", "4000000"))
+#: docs for the minhash-family scaling job (shingle→minhash→band→verify).
+#: 16k ≈ 60 s at 4 cores / 25 s at 16 — long enough that per-stage
+#: constants amortize, short enough that a 3-round interleaved window
+#: still fits inside the quiet intervals this host actually yields
+N_MINHASH = int(os.environ.get("SPARK_GRAFT_SCALE_MINHASH_DOCS", "16000"))
 #: job list is env-selectable so a dedup-only measurement session doesn't
 #: re-run (or clobber the records of) the three spatial jobs
 JOBS = os.environ.get(
@@ -149,12 +154,16 @@ n_dedup = int(os.environ.get("SPARK_GRAFT_SCALE_DEDUP_ROWS", "4000000"))
 # ~290 zero-row tasks per map stage whose dispatch constants ate ~50% of
 # map wall at 16 cores, a small-input artifact a 100 TB scan doesn't have.
 marker_d = os.path.join(input_dir, "MARKER_DEDUP.json")
-want_d = {"n_dedup": n_dedup, "v": 1}
+n_minhash = int(os.environ.get("SPARK_GRAFT_SCALE_MINHASH_DOCS", "60000"))
+want_d = {"n_dedup": n_dedup, "n_minhash": n_minhash, "v": 3}
 if not (os.path.exists(marker_d) and json.load(open(marker_d)) == want_d):
     spark = spark_session(app_name="scale-setup-dedup", master="local[32]")
     (spark.range(0, n_dedup, numPartitions=64)
           .write.mode("overwrite")
           .parquet(os.path.join(input_dir, f"dedup_ids_{n_dedup}")))
+    (datagen.documents_df(spark, n_minhash, partitions=64)
+          .write.mode("overwrite")
+          .parquet(os.path.join(input_dir, f"dedup_docs_{n_minhash}")))
     json.dump(want_d, open(marker_d, "w"))
     spark.stop()
 
@@ -233,6 +242,10 @@ if job_name == "phash_near_dups":  # codegen + banding warmup for the dedup job
             F.col("id"),
             F.xxhash64("id").bitwiseAND(F.lit(2**62 - 1)).alias("ph")),
         "ph", id_col="id", bits=62, max_hamming=3, bands=4))
+if job_name == "minhash_near_dups":  # shingle/minhash codegen warmup
+    materialize(dedup.ngram_jaccard_pairs(
+        datagen.documents_df(spark, 400, partitions=cores),
+        threshold=0.3, broadcast_sets=False))
 
 def set_batch(rows):
     # Arrow rows/batch: small for decoded-pixel UDFs (bounds executor
@@ -288,6 +301,24 @@ def job_phash_dedup():
         df, "ph", id_col="id", bits=62, max_hamming=3, bands="auto",
         n_rows=n_dedup)
 
+def job_minhash_dedup():
+    # the B6 family over pre-materialized synthetic documents: shingle →
+    # minhash signatures → LSH band equi-join (canonical-band pair dedup)
+    # → exact n-gram Jaccard verify. broadcast_sets=False forces the
+    # distributed join path — the one that runs at corpus scale — instead
+    # of the small-corpus broadcast kernel (which would measure a Python
+    # kernel, not the engine's shuffle scaling), and also skips the
+    # corpus-size estimate pre-pass so both levels time identical plans.
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_MINHASH_DOCS", "60000"))
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(64, 4 * cores)))
+    docs_dir = os.path.join(input_dir, f"dedup_docs_{n_docs}")
+    set_splits(docs_dir)
+    df = spark.read.parquet(docs_dir)
+    return dedup.ngram_jaccard_pairs(df, threshold=0.3, broadcast_sets=False)
+
+
 def job_partitioned():
     set_splits(meta_dir)
     set_batch(16384)
@@ -313,6 +344,7 @@ def job_partitioned():
 
 fn = {"image_decode_stats": job_decode,
       "phash_near_dups": job_phash_dedup,
+      "minhash_near_dups": job_minhash_dedup,
       "image_tile_join": job_tile_join,
       "partitioned_join": job_partitioned}[job_name]
 # build once, materialize twice, report the min: run 1 carries the
@@ -350,6 +382,7 @@ def run_worker(script: str, args: list[str], timeout: int = 3600, pin_cores: int
 JOB_N = {
     "image_decode_stats": ("images", N_BYTES),
     "phash_near_dups": ("images", N_DEDUP),
+    "minhash_near_dups": ("docs", N_MINHASH),
     "image_tile_join": ("images", N_META),
     "partitioned_join": ("images", N_PART_JOIN),
 }
@@ -503,17 +536,21 @@ def _write_md(reports: list[dict]) -> None:
     ]
     for report in reports:
         lines += _write_md_pair(report)
-    # dedup-family pair: measured by its own quiet-window sessions
-    # (tools/dedup_windows.py → scaling_dedup.json) so the spatial records
-    # are never clobbered; folded into this file for one-stop judging
-    dedup_path = os.path.join(REPO, "BENCH", "scaling_dedup.json")
-    if os.path.exists(dedup_path):
-        dedup = json.load(open(dedup_path))
-        lines += _write_md_pair(
-            dedup,
-            title=(f"## Dedup-family pair local[{dedup['cores_lo']}] → "
-                   f"local[{dedup['cores_hi']}] (tools/dedup_windows.py)"),
-        )
+    # dedup-family pairs: measured by their own quiet-window sessions
+    # (tools/dedup_windows.py → scaling_dedup.json / scaling_minhash.json)
+    # so the spatial records are never clobbered; folded in for one-stop
+    # judging
+    for name in ("dedup", "minhash"):
+        path = os.path.join(REPO, "BENCH", f"scaling_{name}.json")
+        if os.path.exists(path):
+            rec = json.load(open(path))
+            lines += _write_md_pair(
+                rec,
+                title=(f"## Dedup-family pair local[{rec['cores_lo']}] → "
+                       f"local[{rec['cores_hi']}] (tools/dedup_windows.py"
+                       + (f", QW_PREFIX={name}" if name != "dedup" else "")
+                       + ")"),
+            )
     lines += [
         "",
         "All local threads share ONE memory controller and the VM is",

@@ -154,7 +154,7 @@ n_dedup = int(os.environ.get("SPARK_GRAFT_SCALE_DEDUP_ROWS", "4000000"))
 # ~290 zero-row tasks per map stage whose dispatch constants ate ~50% of
 # map wall at 16 cores, a small-input artifact a 100 TB scan doesn't have.
 marker_d = os.path.join(input_dir, "MARKER_DEDUP.json")
-n_minhash = int(os.environ.get("SPARK_GRAFT_SCALE_MINHASH_DOCS", "60000"))
+n_minhash = int(os.environ.get("SPARK_GRAFT_SCALE_MINHASH_DOCS", "16000"))
 want_d = {"n_dedup": n_dedup, "n_minhash": n_minhash, "v": 3}
 if not (os.path.exists(marker_d) and json.load(open(marker_d)) == want_d):
     spark = spark_session(app_name="scale-setup-dedup", master="local[32]")
@@ -309,7 +309,7 @@ def job_minhash_dedup():
     # of the small-corpus broadcast kernel (which would measure a Python
     # kernel, not the engine's shuffle scaling), and also skips the
     # corpus-size estimate pre-pass so both levels time identical plans.
-    n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_MINHASH_DOCS", "60000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_MINHASH_DOCS", "16000"))
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(max(64, 4 * cores)))

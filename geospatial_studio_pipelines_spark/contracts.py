@@ -426,12 +426,21 @@ def q_bbox_spatial_join(spark, sf_dir):
     Two-phase cell join, not a broadcast nested loop: both bbox sides
     explode to covering hex cells at a coarse res, candidates come from the
     cell equi-join (shuffle hash/SMJ — O(candidates), not O(n·m)), the
-    exact 4-comparison predicate runs per candidate, and pairs dedupe on
-    (id, aoi_id) since a pair can share several cells. Same pair set as the
-    nested loop — the oracle SQL *is* the nested loop — but the plan
-    survives a 100× scale-up on either side."""
-    fp_cells = tiling.explode_cover_cells(order_footprints(spark, sf_dir), res=1)
-    aoi_cells = tiling.explode_cover_cells(
+    exact 4-comparison predicate runs per candidate, and a pair that shares
+    several cells is emitted only by the single cell owning the PBSM
+    reference point (``spatial_join.refpoint_owner_pred`` — pure codegen, so
+    pair dedup costs ZERO shuffles; the r7 rewrite of the former
+    ``dropDuplicates`` whose exchange moved the full 13M-pair stream at
+    sf0.1). Cell covers are the codegen SAT explode
+    (``explode_cover_cells_expr`` — no Python stage; emits every truly
+    overlapping cell, so the owner cell of any intersecting pair is present
+    on both sides). Same pair set as the nested loop — the oracle SQL *is*
+    the nested loop — but the plan survives a 100× scale-up on either
+    side."""
+    from .operators.spatial_join import refpoint_owner_pred
+
+    fp_cells = tiling.explode_cover_cells_expr(order_footprints(spark, sf_dir), res=1)
+    aoi_cells = tiling.explode_cover_cells_expr(
         part_aois(spark, sf_dir), res=1, bbox_cols=("aminx", "aminy", "amaxx", "amaxy")
     )
     cond = (
@@ -443,8 +452,8 @@ def q_bbox_spatial_join(spark, sf_dir):
     pairs = (
         fp_cells.join(aoi_cells, "cell_id")
         .filter(cond)
+        .filter(refpoint_owner_pred(1, aoi_min_cols=("aminx", "aminy")))
         .select("id", "aoi_id")
-        .dropDuplicates(["id", "aoi_id"])
     )
     return (
         pairs.groupBy("aoi_id")
@@ -1258,17 +1267,35 @@ def q_image_pipeline(spark, sf_dir):
     from .geo import wkb as W
     from .operators import footprints, masking, raster, regularize, vectorize
 
-    images = footprints.with_footprint(datagen.images_df(spark, 60))
+    # 8 partitions for 60 rows: this chain crosses the Python boundary 7
+    # times, and each (task × Python stage) pays a fixed worker round-trip —
+    # at the session default 32 partitions that is 224 near-empty sessions
+    # per run (measured 6-24s wall, wildly variant under co-tenant load) vs
+    # ~56 at 8 partitions (measured 4.1-4.6s, stable). Row content is a pure
+    # function of the ordinal, so partitioning never changes results.
+    images = footprints.with_footprint(datagen.images_df(spark, 60, partitions=8))
     spec = [
         {"name": "B04", "RGB_band": "R", "index": 0},
         {"name": "B03", "RGB_band": "G", "index": 1},
         {"name": "B02", "RGB_band": "B", "index": 2},
     ]
+    # project before the opaque stages (guide: Spark cannot prune columns
+    # through mapInPandas): drop fmt/caption/phash/date/modality, which no
+    # downstream stage reads — they would otherwise ride every Arrow batch
+    # through all 7 Python crossings
+    images = images.select(
+        "image_id", "bytes", "w", "h", "minx", "miny", "maxx", "maxy"
+    )
     rgb = raster.make_rgb(images, spec, in_col="bytes", out_col="rgb_bytes")
     preds = raster.pseudo_inference(rgb, in_col="rgb_bytes").select(
         "image_id", "w", "h", "minx", "miny", "maxx", "maxy", "pred_bytes"
     )
-    qa = datagen.qa_df(spark, 60)
+    # broadcast-hint the (30-row) QA side: Spark's size estimate for the
+    # Range→mapInPandas image chain is near zero, so without the hint the
+    # optimizer broadcast the IMAGE side — collecting the whole decode chain
+    # through the driver and capping downstream parallelism at the
+    # LocalTableScan's partitioning (BuildLeft in the r6 plan)
+    qa = F.broadcast(datagen.qa_df(spark, 60))
     masked = masking.apply_mask_chain(preds, qa)
     # synthetic land layer: everything west of lon 60 — the eastern images
     # get their prediction oceaned to NODATA before vectorization

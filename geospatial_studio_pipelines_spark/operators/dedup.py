@@ -20,7 +20,7 @@ import itertools
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import shingle_hashes
+from ..functions.text import _POW31, SHINGLE_K, shingle_hashes
 
 # fixed MinHash permutation constants (a*h + b) % P  — P = 2^31 - 1 (prime)
 MINHASH_P = 2**31 - 1
@@ -112,11 +112,100 @@ def minhash_bands(
     )
 
 
+def _java_mod(a, p: int):
+    """Java/Spark `%` (truncated-division remainder, sign of the dividend)
+    on int64 numpy arrays — numpy's `%` floor-mods (sign of the divisor),
+    which diverges exactly when `a` overflowed negative. Only reachable for
+    shingle hashes past 2^41 (astral-plane code points at corpus scale);
+    kept so the Arrow signature path is bit-identical to the Catalyst
+    expressions even there."""
+    import numpy as np
+
+    r = a % p
+    return np.where((a < 0) & (r != 0), r - p, r)
+
+
+def shingle_sets_with_sigs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sh sorted-distinct array<long>, mh0..mh7) in ONE Arrow pass —
+    the vectorized twin of ``array_sort(array_distinct(shingle_hashes))`` +
+    ``minhash_signature_from_shingles``. Per batch the text decodes to a
+    code-point array (utf-32 view — no per-char Python), the k-gram
+    polynomial hash is four shifted vector multiplies, and the 8 permuted
+    minima are vector ops over the distinct set. Bit-identical to the
+    Catalyst expression tree (same int64 arithmetic incl. wraparound, same
+    truncated `%`; signatures over the distinct set equal signatures over
+    the multiset — min is order/multiplicity-free). Replaces an interpreted
+    higher-order-function tree that dominated the shingle stage CPU
+    (measured ~2x the whole-stage cost at sf0.1)."""
+    import numpy as np
+
+    id_type = dict(docs.dtypes)[id_col]
+    mh_schema = ", ".join(f"mh{j} bigint" for j in range(N_PERM))
+    out_schema = f"{id_col} {id_type}, sh array<bigint>, {mh_schema}"
+    pows = [_POW31[SHINGLE_K - 1 - j] for j in range(SHINGLE_K)]
+    a_consts = np.array(_A, dtype=np.int64)
+    b_consts = np.array(_B, dtype=np.int64)
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        with np.errstate(over="ignore"):
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                ids = rb.column(0)
+                texts = rb.column(1).to_pylist()
+                offsets = [0]
+                flat = []
+                sigs = np.empty((rb.num_rows, N_PERM), dtype=np.int64)
+                sig_valid = np.zeros(rb.num_rows, dtype=bool)
+                for i, t in enumerate(texts):
+                    if t is None or len(t) < SHINGLE_K:
+                        offsets.append(offsets[-1])
+                        continue
+                    c = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(
+                        np.int64
+                    )
+                    h = c[: 1 - SHINGLE_K] * pows[0]
+                    for j in range(1, SHINGLE_K - 1):
+                        h = h + c[j : j + 1 - SHINGLE_K] * pows[j]
+                    h = h + c[SHINGLE_K - 1 :] * pows[SHINGLE_K - 1]
+                    dh = np.unique(h)
+                    flat.append(dh)
+                    offsets.append(offsets[-1] + dh.size)
+                    perm = _java_mod(
+                        dh[:, None] * a_consts[None, :] + b_consts[None, :],
+                        MINHASH_P,
+                    )
+                    sigs[i] = perm.min(axis=0)
+                    sig_valid[i] = True
+                values = (
+                    np.concatenate(flat) if flat else np.empty(0, dtype=np.int64)
+                )
+                sh_arr = pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()), pa.array(values)
+                )
+                cols = [ids, sh_arr] + [
+                    pa.array(
+                        np.where(sig_valid, sigs[:, j], 0), mask=~sig_valid
+                    )
+                    for j in range(N_PERM)
+                ]
+                yield pa.record_batch(
+                    cols, names=[id_col, "sh", *[f"mh{j}" for j in range(N_PERM)]]
+                )
+
+    return docs.select(id_col, text_col).mapInArrow(kernel, out_schema)
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_col: str | None = None,
+    sigs_present: bool = False,
 ) -> DataFrame:
     """Distinct unordered candidate pairs sharing ≥1 LSH band bucket.
     The band self-join is the shuffle; a hot bucket (boilerplate text) is a
@@ -134,12 +223,18 @@ def minhash_candidate_pairs(
     dedup exists for (web corpora with 30-60% duplication and hot
     boilerplate buckets) is the LARGER relation — and duplicate
     candidates never reach the expensive jaccard-verify stage twice.
-    Band keys join as the raw int components (no concat_ws string build)."""
-    sig_cols = (
-        minhash_signature_from_shingles(F.col(shingle_col))
-        if shingle_col is not None
-        else minhash_signature(F.col(text_col))
-    )
+    Band keys join as the raw int components (no concat_ws string build).
+    ``sigs_present`` says ``docs`` already carries the mh0..mh7 signature
+    columns (``shingle_sets_with_sigs``) — no signature expression is built
+    at all then."""
+    if sigs_present:
+        sig_cols = [F.col(f"mh{j}") for j in range(N_PERM)]
+    else:
+        sig_cols = (
+            minhash_signature_from_shingles(F.col(shingle_col))
+            if shingle_col is not None
+            else minhash_signature(F.col(text_col))
+        )
     n_bands = N_PERM // BAND_SIZE
     sig = docs.select(F.col(id_col), *sig_cols).filter(F.col("mh0").isNotNull())
     band_structs = F.array(
@@ -211,39 +306,43 @@ def ngram_jaccard_pairs(
         # an executor OOM when someone points this at 10^9 docs
         est = 8 * (docs.agg(F.sum(F.length(text_col))).first()[0] or 0)
         broadcast_sets = est <= SETS_BROADCAST_MAX_BYTES
-    sets_df = docs.select(
-        F.col(id_col),
-        F.array_sort(F.array_distinct(shingle_hashes(F.col(text_col)))).alias("sh"),
-    ).withColumn("n", F.size("sh"))
-    # Shingle the corpus ONCE when we both collect sets and derive LSH
-    # candidates: persist the set relation, band off the cached arrays
-    # (identical signatures — minhash_signature_from_shingles), then
-    # eagerly checkpoint the (small) pair list so the cache can be
-    # released before returning the lazy result.
     own_pairs = pairs is None
+    if broadcast_sets:
+        # Shingle the corpus ONCE, in one vectorized Arrow pass that also
+        # emits the 8 minhash values (shingle_sets_with_sigs — replaces the
+        # interpreted HOF tree): persist the relation, band off the flat
+        # mh columns, collect the sets for the broadcast kernel, then
+        # eagerly checkpoint the (small) pair list so the cache can be
+        # released before returning the lazy result.
+        sets_df = shingle_sets_with_sigs(docs, id_col, text_col)
+    else:
+        sets_df = docs.select(
+            F.col(id_col),
+            F.array_sort(F.array_distinct(shingle_hashes(F.col(text_col)))).alias("sh"),
+        ).withColumn("n", F.size("sh"))
     if own_pairs and broadcast_sets:
         sets_df = sets_df.persist()
     if pairs is None:
-        pairs = minhash_candidate_pairs(
-            docs if not broadcast_sets else sets_df,
-            id_col,
-            text_col,
-            shingle_col="sh" if broadcast_sets else None,
+        pairs = (
+            minhash_candidate_pairs(sets_df, id_col, text_col, sigs_present=True)
+            if broadcast_sets
+            else minhash_candidate_pairs(docs, id_col, text_col)
         )
     if broadcast_sets:
         # kernel path: ship the per-doc sorted shingle sets ONCE per worker
-        # as a broadcast dict and stream only (id_a, id_b) pairs through a
-        # numpy searchsorted kernel. The join alternative replicates two
+        # as a broadcast CSR and stream only (id_a, id_b) pairs through a
+        # numpy mark-table kernel. The join alternative replicates two
         # ~2 KB arrays onto EVERY candidate pair (≈4 GB of UnsafeRow copy at
         # 2.5M pairs for a 12 MB relation) and evaluates array_intersect
-        # interpreted; measured 2.5× slower than this kernel.
+        # interpreted; measured 2.5× slower than even the r6 searchsorted
+        # kernel this replaces.
         import numpy as np
 
-        # CSR layout instead of an id→array dict: one flat values array +
-        # offsets, so the per-batch kernel below is loop-free. Shingle-hash
-        # values are < 2^41 (max codepoint 0x10FFFF × Σ31^j ≈ 3.4e10), which
-        # leaves room to bias values by pair-index·2^41 and run ONE global
-        # searchsorted per batch instead of one per pair.
+        # CSR layout: one flat values array + offsets. r7: values are
+        # REMAPPED to dense ids 0..U-1 (np.unique) so the kernel can count
+        # intersections with a U-byte mark table — O(|B|) lookups per pair
+        # instead of the r6 bias + global-searchsorted (~21 comparisons per
+        # gathered element), and no 2^41 value-range assumption anywhere.
         # collect(), not toLocalIterator(): the iterator fetches (and
         # computes) partitions one at a time — a serial shingling job per
         # partition, measured 4.9s vs 1s for the same 5k-doc relation.
@@ -257,10 +356,28 @@ def ngram_jaccard_pairs(
             if len(rows)
             else np.empty(0, np.int64)
         )
-        index = {r[0]: i for i, r in enumerate(rows)}
-        del rows
+        uniq, dense = (
+            np.unique(values, return_inverse=True)
+            if values.size
+            else (np.empty(0, np.int64), np.empty(0, np.int64))
+        )
+        dense = dense.astype(np.int32)
+        n_universe = int(uniq.size)
+        ids_np = np.asarray([r[0] for r in rows])
+        # integer ids → vectorized searchsorted lookup; anything else falls
+        # back to a dict (object-dtype searchsorted is per-element Python)
+        if ids_np.dtype != object:
+            sort_ix = np.argsort(ids_np, kind="stable")
+            ids_sorted, ids_perm, index = ids_np[sort_ix], sort_ix, None
+        else:
+            ids_sorted = ids_perm = None
+            index = {r[0]: i for i, r in enumerate(rows)}
+        del rows, values, uniq
         bc = docs.sparkSession.sparkContext.broadcast(
-            {"counts": counts, "offs": offs, "values": values, "index": index}
+            {
+                "counts": counts, "offs": offs, "dense": dense, "U": n_universe,
+                "ids_sorted": ids_sorted, "ids_perm": ids_perm, "index": index,
+            }
         )
         if own_pairs:
             # materialize the (small) candidate list off the cached shingle
@@ -270,73 +387,76 @@ def ngram_jaccard_pairs(
             sets_df.unpersist()
         id_a_t = dict(pairs.dtypes)["id_a"]
         id_b_t = dict(pairs.dtypes)["id_b"]
-        SHIFT = np.int64(1) << 41
-        # chunk by gathered-ELEMENT budget, not pair count: each pair
-        # materializes its two sets into the flattened key arrays, so a
-        # fixed pair chunk would blow memory on long documents (measured
-        # multi-GB temporaries at sf0.1). 2M elements ≈ 16 MB per array;
-        # also bounds pairs-per-chunk ≤ 2M+1 < 2^22, so the pair-index bias
-        # idx·2^41 stays strictly under 2^63.
-        CHUNK_ELEMS = 2 << 20
+        #: pairs per vectorized flush — the session Arrow batch size is
+        #: tuned for image payloads (256 rows), which starves a slim-row
+        #: kernel; the kernel COALESCES input batches to this many pairs
+        #: before processing, so per-batch fixed costs amortize regardless
+        #: of the session batch setting (guide §4.2 "keep batches large").
+        FLUSH_PAIRS = 1 << 16
 
         def kernel(batches):
             import pyarrow as pa
 
             s = bc.value
-            counts, offs, values, index = s["counts"], s["offs"], s["values"], s["index"]
+            counts, offs, dense = s["counts"], s["offs"], s["dense"]
+            ids_sorted, ids_perm, index = s["ids_sorted"], s["ids_perm"], s["index"]
+            mark = np.zeros(s["U"], dtype=bool)
 
-            def gather(ix, ln):
-                # values[offs[ix[p]] : offs[ix[p]]+ln[p]] for every pair p,
-                # flattened — repeat/arange, no Python loop
-                ends = np.cumsum(ln)
-                flat = np.arange(int(ends[-1]), dtype=np.int64) - np.repeat(ends - ln, ln)
-                return values[np.repeat(offs[ix], ln) + flat]
+            def lookup(id_pa):
+                vals = id_pa.to_numpy(zero_copy_only=False)
+                if index is not None:
+                    return np.fromiter(
+                        (index[x] for x in vals), dtype=np.int64, count=len(vals)
+                    )
+                return ids_perm[np.searchsorted(ids_sorted, vals)]
 
+            def process(ia_pa, ib_pa):
+                n = len(ia_pa)
+                a_ix = lookup(ia_pa)
+                b_ix = lookup(ib_pa)
+                jac = np.empty(n, dtype=np.float64)
+                # group pairs by query doc: stamp its set once, then count
+                # membership over the partners' flat gather — O(Σ|B|) total
+                order = np.argsort(a_ix, kind="stable")
+                sa = a_ix[order]
+                group_starts = np.flatnonzero(np.r_[True, sa[1:] != sa[:-1]])
+                bounds = np.r_[group_starts, n]
+                for s0, e0 in zip(bounds[:-1], bounds[1:]):
+                    gi = order[s0:e0]
+                    a = sa[s0]
+                    av = dense[offs[a] : offs[a] + counts[a]]
+                    mark[av] = True
+                    pb = b_ix[gi]
+                    ln = counts[pb]
+                    m = e0 - s0
+                    ends = np.cumsum(ln)
+                    total = int(ends[-1])
+                    flat = np.arange(total, dtype=np.int64) - np.repeat(ends - ln, ln)
+                    gathered = dense[np.repeat(offs[pb], ln) + flat]
+                    hit = mark[gathered]
+                    seg = np.repeat(np.arange(m, dtype=np.int64), ln)
+                    inter = np.bincount(seg[hit], minlength=m).astype(np.float64)
+                    union = (counts[a] + ln).astype(np.float64) - inter
+                    # zero-union (two sub-SHINGLE_K docs) → 0.0 by
+                    # convention, same as the shuffled path's guard
+                    jac[gi] = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+                    mark[av] = False
+                return pa.record_batch(
+                    [ia_pa, ib_pa, pa.array(jac)], names=["id_a", "id_b", "jaccard"]
+                )
+
+            buf_a, buf_b, buffered = [], [], 0
             for rb in batches:
                 if rb.num_rows == 0:
                     continue
-                ia = rb.column(0).to_numpy(zero_copy_only=False)
-                ib = rb.column(1).to_numpy(zero_copy_only=False)
-                n = rb.num_rows
-                pa_ix = np.fromiter((index[x] for x in ia), dtype=np.int64, count=n)
-                pb_ix = np.fromiter((index[x] for x in ib), dtype=np.int64, count=n)
-                jac = np.empty(n, dtype=np.float64)
-                per_pair = counts[pa_ix] + counts[pb_ix]
-                bounds = np.searchsorted(
-                    np.cumsum(per_pair),
-                    np.arange(CHUNK_ELEMS, int(per_pair.sum()) + CHUNK_ELEMS, CHUNK_ELEMS),
-                    side="left",
-                )
-                # trailing n: guarantees the final chunk even when the total
-                # element count is 0 (all-empty sets) or not a CHUNK multiple
-                starts = np.r_[0, np.minimum(bounds + 1, n), n]
-                for s0, e0 in zip(starts[:-1], starts[1:]):
-                    if s0 >= e0:
-                        continue
-                    axi, bxi = pa_ix[s0:e0], pb_ix[s0:e0]
-                    la, lb = counts[axi], counts[bxi]
-                    swap = la > lb  # search the smaller set in the larger
-                    q_ix, t_ix = np.where(swap, bxi, axi), np.where(swap, axi, bxi)
-                    ql, tl = counts[q_ix], counts[t_ix]
-                    m = e0 - s0
-                    seg = np.arange(m, dtype=np.int64)
-                    qk = gather(q_ix, ql) + np.repeat(seg * SHIFT, ql)
-                    tk = gather(t_ix, tl) + np.repeat(seg * SHIFT, tl)
-                    # tk is globally sorted (segments ascending, sorted within)
-                    pos = np.searchsorted(tk, qk)
-                    if tk.size:
-                        hit = tk[np.minimum(pos, tk.size - 1)] == qk
-                    else:
-                        hit = np.zeros(qk.size, dtype=bool)
-                    inter = np.bincount(np.repeat(seg, ql)[hit], minlength=m).astype(np.float64)
-                    union = (la + lb).astype(np.float64) - inter
-                    # zero-union (two sub-SHINGLE_K docs) → 0.0 by convention,
-                    # same as the shuffled path's guard
-                    jac[s0:e0] = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
-                yield pa.record_batch(
-                    [rb.column(0), rb.column(1), pa.array(jac)],
-                    names=["id_a", "id_b", "jaccard"],
-                )
+                buf_a.append(rb.column(0))
+                buf_b.append(rb.column(1))
+                buffered += rb.num_rows
+                if buffered >= FLUSH_PAIRS:
+                    yield process(pa.concat_arrays(buf_a), pa.concat_arrays(buf_b))
+                    buf_a, buf_b, buffered = [], [], 0
+            if buffered:
+                yield process(pa.concat_arrays(buf_a), pa.concat_arrays(buf_b))
 
         out = pairs.select("id_a", "id_b").mapInArrow(
             kernel, f"id_a {id_a_t}, id_b {id_b_t}, jaccard double"
@@ -699,14 +819,22 @@ def banded_signatures(
         ).alias("bk"),
     ).select(id_col, "sh", "bk.band", "bk.key")
     if hot_bucket_limit is not None:
-        # Lazy fail-loud guard: per-bucket count (map-side combine, tiny
-        # post-agg exchange) asserted at execution time. assert_true
-        # returns NULL on success, so the isNull filter keeps every bucket
-        # while forcing evaluation; the inner join back onto `banded` is an
-        # identity (every bucket is present) on the SAME (band, key) keys
-        # the candidate join shuffles on, so the exchange is reused.
-        counts = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_bc"))
-        ok = counts.filter(
+        # Lazy fail-loud guard as a WINDOW count, not an agg+join-back
+        # (r7): count(*) over (partition by band, key) needs exactly the
+        # exchange+sort on (band, key) that the downstream candidate
+        # SortMergeJoin needs anyway — WindowExec preserves its child's
+        # partitioning and ordering, so the guard adds ZERO exchanges and
+        # ZERO sorts to the join plan. The r6 shape (groupBy count +
+        # merge-join back) cost a second full pass over the banded relation
+        # per join side: a 40M-row aggregate exchange + two extra sorts at
+        # the 4M-row bench point (plans/r07/phash_near_dups_before.txt).
+        # assert_true returns NULL on success, so the isNull filter keeps
+        # every row while forcing evaluation; WindowExec buffers one bucket
+        # at a time, so a hot bucket still fails BEFORE the join emits its
+        # quadratic pairs.
+        w = Window.partitionBy("band", "key")
+        bc_count = F.count(F.lit(1)).over(w)
+        banded = banded.withColumn("_bc", bc_count).filter(
             F.assert_true(
                 F.col("_bc") <= F.lit(hot_bucket_limit),
                 F.concat(
@@ -722,12 +850,7 @@ def banded_signatures(
                     ),
                 ),
             ).isNull()
-        ).select("band", "key")
-        # merge hint: the guard join must reuse the (band, key) exchange,
-        # never broadcast — `ok` has one row per DISTINCT bucket, which at
-        # wide keys (large `bands`) approaches tables*n rows; letting AQE
-        # broadcast it OOMs the driver (observed at m=5 / 4M rows).
-        banded = banded.join(ok.hint("merge"), ["band", "key"])
+        ).drop("_bc")
     return banded
 
 
@@ -797,16 +920,25 @@ def hamming_near_dups(
     if max_hamming is None:
         max_hamming = bands - 1
     _check_pigeonhole(max_hamming, bands)
-    banded = banded_signatures(
+    # Guard ONE side only (r7): both sides band the same rows, so the
+    # window-count guard on `b` already asserts every bucket exactly once —
+    # guarding `a` too would run a second (identical) window pass. The
+    # unguarded `a` subtree's exchange is canonically equal to the one
+    # under `b`'s window, so AQE reuses the single 10·n-row shuffle.
+    banded_a = banded_signatures(
+        df, hash_col, id_col=id_col, bits=bits, bands=bands,
+        max_hamming=max_hamming, hot_bucket_limit=None,
+    )
+    banded_b = banded_signatures(
         df, hash_col, id_col=id_col, bits=bits, bands=bands,
         max_hamming=max_hamming, hot_bucket_limit=hot_bucket_limit,
     )
     layout = _hamming_block_layout(bits, bands)
     subsets = list(itertools.combinations(range(bands), bands - max_hamming))
-    a = banded.select(
+    a = banded_a.select(
         F.col("band"), F.col("key"), F.col(id_col).alias("id_a"), F.col("sh").alias("sha")
     )
-    b = banded.select(
+    b = banded_b.select(
         F.col("band"), F.col("key"), F.col(id_col).alias("id_b"), F.col("sh").alias("shb")
     )
     ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))

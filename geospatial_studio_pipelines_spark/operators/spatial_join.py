@@ -232,7 +232,11 @@ def aoi_cover_cells(aois: DataFrame, res: int, with_geom: bool = True) -> DataFr
 GEOM_BROADCAST_MAX_BYTES = 128 << 20
 
 
-def refpoint_owner_pred(res: int):
+def refpoint_owner_pred(
+    res: int,
+    aoi_min_cols: tuple[str, str] = ("aoi_minx", "aoi_miny"),
+    img_min_cols: tuple[str, str] = ("minx", "miny"),
+):
     """PBSM reference-point dedup predicate, fully codegen and branchless:
     decode the candidate cell's centre from ``cell_id`` (bit ops), then
     half-open 3-slab point-in-hex ownership of the bbox-intersection's
@@ -243,7 +247,9 @@ def refpoint_owner_pred(res: int):
     vs the rounding `when`-tree that blew past JIT method limits and ran
     interpreted (measured 13.6s for 17.5M rows at 32 cores). Owner-cell
     uniqueness holds across the whole covering-cell set, so joins against
-    disjoint cell subsets emit disjoint pair sets — no cross-branch dedup."""
+    disjoint cell subsets emit disjoint pair sets — no cross-branch dedup.
+    ``aoi_min_cols``/``img_min_cols`` name the two bboxes' min corners (the
+    contract bbox join uses aminx/aminy on its AOI side)."""
     sqrt3 = float(np.sqrt(3.0))
     size = float(hexgrid.cell_size(res))
     apo = F.lit(sqrt3 / 2.0 * size)
@@ -251,8 +257,8 @@ def refpoint_owner_pred(res: int):
     off = F.lit(hexgrid._OFF)
     cq = (F.shiftright(F.col("cell_id"), 29).bitwiseAND(mask29) - off).cast("double")
     cr = (F.col("cell_id").bitwiseAND(mask29) - off).cast("double")
-    dx = F.greatest(F.col("minx"), F.col("aoi_minx")) - F.lit(size * sqrt3) * (cq + cr / 2.0)
-    dy = F.greatest(F.col("miny"), F.col("aoi_miny")) - F.lit(size * 1.5) * cr
+    dx = F.greatest(F.col(img_min_cols[0]), F.col(aoi_min_cols[0])) - F.lit(size * sqrt3) * (cq + cr / 2.0)
+    dy = F.greatest(F.col(img_min_cols[1]), F.col(aoi_min_cols[1])) - F.lit(size * 1.5) * cr
     a2 = dx * 0.5 + F.lit(sqrt3 / 2.0) * dy
     a3 = F.lit(sqrt3 / 2.0) * dy - dx * 0.5
     return (

@@ -152,8 +152,14 @@ def compact_ivf_index(spark: SparkSession, path: str) -> dict:
         name = d.getName()
         staged = hpath(staging + "/" + name)
         if not fs.exists(staged):
-            continue  # empty list after compaction read — leave as is
-        for f in before[str(d)]:
+            # no staged counterpart (empty after the compaction read, or a
+            # list= dir created by a concurrent append since the snapshot):
+            # retained old files stay live, so count them in files_after
+            n_after += len(_part_files(d))
+            continue
+        # .get(): the dir may postdate the `before` snapshot (concurrent
+        # append) — treat it as having no old files rather than KeyError
+        for f in before.get(str(d), []):
             fs.delete(f, False)
         for f in _part_files(staged):
             dest = hpath(str(d) + "/" + f.getName())

@@ -91,7 +91,10 @@ def clean_corpus(
         threshold=jaccard_threshold,
     )
     if policy == "pairs":
-        dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        # no .distinct(): the left-anti join below is insensitive to
+        # right-side duplicates, so deduping dropped ids was a pure extra
+        # exchange over the pair set (r7; pinned by a plan-contract test)
+        dropped = pairs.select(F.col("id_b").alias(id_col))
     else:
         cc = dedup.connected_components(pairs)
         dropped = (

@@ -565,12 +565,19 @@ def embedding_near_dups(
             f"exceeds the {EMB_BROADCAST_MAX_BYTES >> 20} MiB broadcast cap "
             "— use method='lsh'"
         )
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    sim = cosine_expr("va", "vb")
-    return pairs.select("id_a", "id_b", F.round(sim, 6).alias("cos_sim")).filter(
-        F.col("cos_sim") >= threshold
+    # vectorized Arrow kernel over the broadcast corpus (same device as
+    # brute_force_topk): the kernel emits the unrounded sims for a provable
+    # ≥ threshold−2e-6 superset; the exact Spark-side round+filter below
+    # reproduces the former pair-join expression plan bit-for-bit
+    from .similarity import cosine_candidates_kernel
+
+    cand = cosine_candidates_kernel(
+        emb, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+    return (
+        cand.filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 

@@ -218,14 +218,26 @@ def _meta_of(spark: SparkSession, path: str) -> dict:
     }
 
 
-def _norm_location(loc: str) -> str:
-    """Normalize a table/sidecar location for comparison: strip the
-    filesystem scheme prefix and any trailing slash."""
-    for scheme in ("file:", "hdfs:", "s3a:", "s3:", "gs:", "abfss:"):
-        if loc.startswith(scheme):
-            loc = loc[len(scheme):]
-            break
-    return "/" + loc.strip("/")
+def _norm_location(loc: str) -> tuple[str, str]:
+    """(authority, normalized path) of a table/sidecar location. Locations
+    compare equal via :func:`_same_location`, which matches on the PATH and
+    only requires the authority to agree when BOTH sides carry one — the r6
+    version kept the URI authority inside the compared string, so a catalog
+    Location like ``hdfs://nn:8020/idx`` never matched a schemeless
+    ``/idx`` and a legitimate same-index re-registration raised."""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(loc)
+    path = parsed.path if parsed.scheme else loc
+    return parsed.netloc if parsed.scheme else "", "/" + path.strip("/")
+
+
+def _same_location(a: str, b: str) -> bool:
+    auth_a, path_a = _norm_location(a)
+    auth_b, path_b = _norm_location(b)
+    if path_a != path_b:
+        return False
+    return (not auth_a) or (not auth_b) or auth_a == auth_b
 
 
 def write_hamming_index(
@@ -320,7 +332,7 @@ def _check_existing_table(
         for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
     }
     loc = desc.get("Location", "")
-    if _norm_location(loc) != _norm_location(path):
+    if not _same_location(loc, path):
         raise ValueError(
             f"table {table!r} already exists at location {loc!r}, not the "
             f"requested index path {path!r} — drop it or pick another name"
@@ -330,6 +342,15 @@ def _check_existing_table(
         raise ValueError(
             f"table {table!r} has {n_buckets} buckets but the index sidecar "
             f"says {meta['buckets']} — catalog entry is stale; drop it"
+        )
+    have_id_type = (desc.get(meta["id_col"]) or "").lower()
+    if have_id_type and have_id_type != meta["id_type"].lower():
+        # a pre-sidecar-era entry hardcoded BIGINT; sitting at the right
+        # location it would silently misread a string-id index
+        raise ValueError(
+            f"table {table!r} declares {meta['id_col']} {have_id_type!r} but "
+            f"the index sidecar says {meta['id_type']!r} — catalog entry is "
+            "stale; drop it"
         )
 
 

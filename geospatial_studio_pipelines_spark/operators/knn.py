@@ -29,8 +29,6 @@ polynomial arithmetic), per FIXTURES.md T6.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -113,43 +111,68 @@ def choose_res(n: int, k: int, area_deg2: float = 360.0 * 120.0) -> int:
     return int(hexgrid.res_for_extent(np.array([edge * 2]), 0, 12)[0])
 
 
+#: past this many disk offsets the codegen explode expression would bloat
+#: the generated method; larger radii (rare escalation rungs) keep the
+#: Arrow-batched UDF path
+_DISK_EXPR_MAX_CELLS = 512
+
+
+def _disk_offsets(radius: int) -> list[tuple[int, int]]:
+    """Axial (dq, dr) offsets of the grid disk, in ``hexgrid.grid_disk``'s
+    enumeration order."""
+    return [
+        (dq, dr)
+        for dq in range(-radius, radius + 1)
+        for dr in range(max(-radius, -dq - radius), min(radius, -dq + radius) + 1)
+    ]
+
+
 def _disk_candidates(queries: DataFrame, targets: DataFrame, radius: int) -> DataFrame:
-    from pyspark.sql.pandas.functions import pandas_udf
+    offsets = _disk_offsets(radius)
+    if len(offsets) <= _DISK_EXPR_MAX_CELLS:
+        # pure-codegen disk expansion (r7): in the cell-id packing
+        # (res<<58 | (q+OFF)<<29 | (r+OFF)) a (dq, dr) neighbor step is the
+        # constant add dq·2^29 + dr — identical arithmetic to grid_disk's
+        # unpack/add/repack — so the whole explode stays inside
+        # whole-stage codegen instead of an Arrow round-trip per round
+        disk_cells = F.array(
+            *[F.col("cell") + F.lit((dq << 29) + dr) for dq, dr in offsets]
+        )
+    else:
+        from pyspark.sql.pandas.functions import pandas_udf
 
-    @pandas_udf("array<long>")
-    def disk(cells: pd.Series) -> pd.Series:
-        cache: dict[int, list[int]] = {}
-        out = []
-        for c in cells.values:
-            got = cache.get(c)
-            if got is None:
-                got = hexgrid.grid_disk(np.int64(c), radius).tolist()
-                cache[c] = got
-            out.append(got)
-        return pd.Series(out)
+        @pandas_udf("array<long>")
+        def disk(cells: pd.Series) -> pd.Series:
+            cache: dict[int, list[int]] = {}
+            out = []
+            for c in cells.values:
+                got = cache.get(c)
+                if got is None:
+                    got = hexgrid.grid_disk(np.int64(c), radius).tolist()
+                    cache[c] = got
+                out.append(got)
+            return pd.Series(out)
 
-    q = queries.withColumn("cell", F.explode(disk(F.col("cell"))))
+        disk_cells = disk(F.col("cell"))
+    q = queries.withColumn("cell", F.explode(disk_cells))
     cand = q.join(targets, "cell").filter(F.col("pid") != F.col("nid"))
     dx = F.col("lon") - F.col("nlon")
     dy = F.col("lat") - F.col("nlat")
-    return cand.select("pid", "nid", (dx * dx + dy * dy).alias("dist2")).dropDuplicates(
-        ["pid", "nid"]
-    )
+    # no pair dedup needed: disk cells are distinct and each target lives in
+    # exactly one cell, so a (pid, nid) pair is emitted at most once — the
+    # former dropDuplicates was an identity costing a full candidate
+    # exchange per round (removed r7; pinned by the no-dedup plan test)
+    return cand.select("pid", "nid", (dx * dx + dy * dy).alias("dist2"))
 
 
 def _topk(cand: DataFrame, k: int) -> DataFrame:
-    # map-side partial top-k ("local heap"): bound rows entering the shuffle
-    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(["pid", "dist2", "nid"], kind="mergesort")
-            yield pdf.groupby("pid", sort=False).head(k)
-
-    types = dict(cand.dtypes)
-    pruned = cand.mapInPandas(partial, f"pid {types['pid']}, nid {types['nid']}, dist2 double")
+    # Partial ("local heap") top-k before the exchange comes from Spark's
+    # own WindowGroupLimit pushdown for row_number + rank<=k filters
+    # (map-side Sort + WindowGroupLimit below the exchange) — the former
+    # explicit mapInPandas partial did the same bounding through an Arrow
+    # round-trip per round and is gone (r7).
     w = Window.partitionBy("pid").orderBy(F.col("dist2").asc(), F.col("nid").asc())
-    return pruned.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 #: broadcast cap for the brute-force straggler pass (~32 B per point row)

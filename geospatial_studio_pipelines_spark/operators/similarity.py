@@ -38,23 +38,139 @@ def _rank_topk(pairs: DataFrame, k: int) -> DataFrame:
     )
 
 
+def cosine_candidates_kernel(
+    emb: DataFrame,
+    k: int | None = None,
+    threshold: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine against the broadcast corpus as ONE Arrow kernel →
+    ``(id_a, id_b, cos_sim)`` with cos_sim the UNROUNDED double, pruned to a
+    provable superset of the final answer: with ``k``, every partner whose
+    sim could still reach the rounded top-k (sim ≥ kth-largest − 2e-6 —
+    rounding to 1e-6 moves a value by ≤ 5e-7, so anything below that margin
+    rounds strictly under the kth pair and can never rank ≤ k); with
+    ``threshold``, every pair with sim ≥ threshold − 2e-6 (same argument
+    against the rounded ≥-threshold filter). The caller applies the exact
+    Spark-side ``round(·, 6)`` + rank/filter, so results are bit-identical
+    to the former pair-join expression plan.
+
+    Bit-identity of the doubles themselves: dots and norms accumulate
+    STRICTLY left-to-right over the vector index (one fused vector op per
+    dimension — never a BLAS matmul, which reorders the summation), the
+    exact float walk of ``aggregate(zip_with(...))``; float32→float64 casts
+    are exact; the final dot/(√na·√nb) uses the same operation order. The
+    former plan evaluated that aggregate INTERPRETED per pair (higher-order
+    functions have no codegen) — measured ~4s for 4M pairs at 32 cores vs
+    ~1s for this kernel. NaN rows (zero-norm vectors) keep every partner —
+    the superset stays valid under Spark's NaN-largest ordering."""
+    import numpy as np
+
+    rows = emb.select(id_col, vec_col).collect()
+    n = len(rows)
+    corpus = (
+        np.stack([np.asarray(r[1], dtype=np.float32) for r in rows]).astype(np.float64)
+        if n
+        else np.zeros((0, 1))
+    )
+    ids_np = np.asarray([r[0] for r in rows])
+    del rows
+    d = corpus.shape[1]
+    nb2 = np.zeros(n)
+    for j in range(d):  # ordered accumulation — see docstring
+        nb2 += corpus[:, j] * corpus[:, j]
+    nbr = np.sqrt(nb2)
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast({"ids": ids_np, "corpus": corpus, "norms": nbr})
+    id_type = dict(emb.dtypes)[id_col]
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"
+    #: rows of the (query-chunk × corpus) sim matrix are bounded to ~16M
+    #: doubles so a large gated corpus cannot blow task memory
+    chunk = max(1, (1 << 21) // max(n, 1))
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        s = bc.value
+        ids, corpus, nbr = s["ids"], s["corpus"], s["norms"]
+        n = len(ids)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            qids = rb.column(0).to_numpy(zero_copy_only=False)
+            qmat = np.stack(
+                [np.asarray(v, dtype=np.float32) for v in rb.column(1).to_pylist()]
+            ).astype(np.float64)
+            out_a, out_b, out_s = [], [], []
+            for s0 in range(0, rb.num_rows, chunk):
+                e0 = min(s0 + chunk, rb.num_rows)
+                q = qmat[s0:e0]
+                acc = np.zeros((e0 - s0, n))
+                na2 = np.zeros(e0 - s0)
+                for j in range(d):  # ordered accumulation per dot product
+                    acc += q[:, j : j + 1] * corpus[:, j]
+                    na2 += q[:, j] * q[:, j]
+                sim = acc / (np.sqrt(na2)[:, None] * nbr[None, :])
+                selfm = qids[s0:e0, None] == ids[None, :]
+                for r in range(e0 - s0):
+                    srow = sim[r]
+                    cand = ~selfm[r]
+                    m = int(cand.sum())
+                    if m == 0:
+                        continue
+                    if k is not None and m > k:
+                        vals = srow[cand]
+                        kth = np.partition(vals, m - k)[m - k]
+                        if np.isnan(kth):
+                            keep = cand  # NaN row: keep all (see docstring)
+                        else:
+                            keep = cand & (srow >= kth - 2e-6)
+                    elif threshold is not None:
+                        keep = cand & ~(srow < threshold - 2e-6)  # keeps NaN
+                    else:
+                        keep = cand
+                    sel = np.flatnonzero(keep)
+                    out_a.append(np.repeat(qids[s0 + r], sel.size))
+                    out_b.append(ids[sel])
+                    out_s.append(srow[sel])
+            if out_a:
+                yield pa.record_batch(
+                    [
+                        pa.array(np.concatenate(out_a)),
+                        pa.array(np.concatenate(out_b)),
+                        pa.array(np.concatenate(out_s)),
+                    ],
+                    names=["id_a", "id_b", "cos_sim"],
+                )
+
+    return emb.select(id_col, vec_col).mapInArrow(kernel, out_schema)
+
+
 def brute_force_topk(
     emb: DataFrame, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """Exact cosine top-k for every vector (self-query). Returns
     (id_a, id_b, cos_sim rounded 1e-6, rank); ties break by id_b.
     Size-gated: the broadcast build side must fit ``EMB_BROADCAST_MAX_BYTES``
-    — past that the O(n²) scan is the wrong tool anyway; use ``lsh_topk``."""
+    — past that the O(n²) scan is the wrong tool anyway; use ``lsh_topk``.
+    The O(n²) dot products run in the vectorized Arrow kernel
+    (``cosine_candidates_kernel``); only the per-query top-(k+ε) superset
+    reaches the rank window, so the window shuffle carries ~k·n rows
+    instead of n²."""
     est = emb.agg(F.sum(F.size(vec_col) * 4 + 64)).first()[0] or 0
     if est > EMB_BROADCAST_MAX_BYTES:
         raise ValueError(
             f"brute_force_topk: embedding table ≈{est >> 20} MiB exceeds the "
             f"{EMB_BROADCAST_MAX_BYTES >> 20} MiB broadcast cap — use lsh_topk"
         )
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(F.broadcast(b), F.col("id_a") != F.col("id_b"))
-    return _rank_topk(pairs, k)
+    cand = cosine_candidates_kernel(emb, k=k, id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), F.col("id_b").asc())
+    return (
+        cand.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:

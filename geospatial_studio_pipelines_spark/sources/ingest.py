@@ -116,11 +116,13 @@ def read_binary_dir(
             if pdf.empty:
                 continue
             rows = []
-            for _, row in pdf.iterrows():
-                p = row["path"]
+            # zip over the two columns, not iterrows(): iterrows builds a
+            # pandas Series object per row, pure overhead at 10^3+ files
+            # per task
+            for p, content in zip(pdf["path"].to_numpy(), pdf["content"].to_numpy()):
                 name = os.path.basename(p)
                 image_id = os.path.splitext(name)[0] if id_from == "stem" else name
-                blob = bytes(row["content"])
+                blob = bytes(content)
                 try:
                     arr = decode_image(blob)
                     h, w = int(arr.shape[0]), int(arr.shape[1])

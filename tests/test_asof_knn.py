@@ -97,3 +97,20 @@ def test_knn_straggler_pass_never_broadcasts_big_table(spark, monkeypatch):
     g = set(map(tuple, got[["image_id", "nid", "rank"]].itertuples(index=False)))
     e = set(map(tuple, exp[["image_id", "nid", "rank"]].itertuples(index=False)))
     assert g == e
+
+
+def test_disk_offsets_match_grid_disk():
+    """The codegen disk expansion (constant adds on the packed cell id)
+    must enumerate exactly ``hexgrid.grid_disk``'s cell set — pins the r7
+    replacement of the per-round Arrow UDF with a pure expression."""
+    import numpy as np
+
+    from geospatial_studio_pipelines_spark.index import hexgrid
+    from geospatial_studio_pipelines_spark.operators.knn import _disk_offsets
+
+    for res, q, r in ((5, 10, -7), (8, 0, 0), (3, -1000, 1000)):
+        cell = int(hexgrid._pack(np.int64(res), np.int64(q), np.int64(r)))
+        for radius in (1, 2, 8):
+            want = set(hexgrid.grid_disk(np.int64(cell), radius).tolist())
+            got = {cell + (dq << 29) + dr for dq, dr in _disk_offsets(radius)}
+            assert got == want, (res, q, r, radius)

@@ -422,3 +422,80 @@ def test_compaction_preserves_probes_and_reduces_files(spark, index_dir):
     }
     assert {(i + 40_000_000, i) for i in range(2500, 2550)} <= got2
     spark.sql("DROP TABLE t_cmp")
+
+
+def test_register_rejects_wrong_id_type_entry(spark, index_dir):
+    """A stale catalog entry at the CORRECT location but with the wrong id
+    column type (the pre-r6 hardcoded-BIGINT shape) must be rejected — it
+    would silently misread a string-id index (r6 verdict item #2)."""
+    corpus = _corpus(spark, 300).select(
+        F.concat(F.lit("img-"), F.col("image_id")).alias("image_id"), "phash"
+    )
+    hamming_index.write_hamming_index(
+        corpus, "t_idtype", index_dir, hash_col="phash", bits=62, bands=4, buckets=8
+    )
+    spark.sql("DROP TABLE t_idtype")
+    # simulate the stale pre-r6 entry: same name, same location, BIGINT id
+    spark.sql(
+        f"""CREATE TABLE t_idtype
+        (image_id BIGINT, sh BIGINT, band INT, key BIGINT)
+        USING PARQUET
+        CLUSTERED BY (band, key) SORTED BY (band, key) INTO 8 BUCKETS
+        LOCATION '{index_dir}'"""
+    )
+    with pytest.raises(ValueError, match="stale"):
+        hamming_index.register_hamming_index(spark, "t_idtype", index_dir)
+    spark.sql("DROP TABLE t_idtype")
+
+
+def test_same_location_ignores_missing_authority():
+    """Location comparison matches on the path; the authority only has to
+    agree when both sides carry one (ADVICE: 'hdfs://nn:8020/idx' must
+    match a schemeless '/idx', but two different buckets must not)."""
+    same = hamming_index._same_location
+    assert same("hdfs://nn:8020/idx", "/idx")
+    assert same("file:/root/x/idx/", "/root/x/idx")
+    assert same("s3a://bkt/idx", "s3a://bkt/idx/")
+    assert not same("s3a://bkt-a/idx", "s3a://bkt-b/idx")
+    assert not same("/idx", "/other")
+
+
+def test_append_compact_append_probe_lifecycle(spark, index_dir, tmp_path):
+    """Interleaved daily-ingest cycle — append → compact → append → probe —
+    must return exactly what a never-compacted twin index returns (r6
+    verdict item #5: the single-compaction test missed the alternation)."""
+    base = _corpus(spark, 2000)
+    batch1 = spark.range(2000, 2400).select(
+        F.col("id").alias("image_id"), _mix(F.col("id")).alias("phash")
+    )
+    batch2 = spark.range(2400, 2800).select(
+        F.col("id").alias("image_id"), _mix(F.col("id")).alias("phash")
+    )
+    plain_dir = str(tmp_path / "idx_plain")
+    for table, d, compact in (("t_cyc", index_dir, True), ("t_plain", plain_dir, False)):
+        hamming_index.write_hamming_index(
+            base, table, d, hash_col="phash", bits=62, bands=4, buckets=8
+        )
+        hamming_index.append_hamming_index(batch1, table, d)
+        if compact:
+            stats = hamming_index.compact_hamming_index(spark, table, d)
+            assert stats["files_after"] <= stats["files_before"]
+        hamming_index.append_hamming_index(batch2, table, d)
+        if compact:
+            hamming_index.compact_hamming_index(spark, table, d)
+    probe = _probe(spark, 40, 15)
+    got = {
+        tuple(r)
+        for r in hamming_index.probe_hamming_index(
+            spark, "t_cyc", index_dir, probe, probe_rows=55
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in hamming_index.probe_hamming_index(
+            spark, "t_plain", plain_dir, probe, probe_rows=55
+        ).collect()
+    }
+    assert got == want and len(got) >= 40
+    spark.sql("DROP TABLE t_cyc")
+    spark.sql("DROP TABLE t_plain")

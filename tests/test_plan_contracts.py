@@ -137,3 +137,13 @@ def test_phash_near_dup_pair_dedup_is_shuffle_free(spark):
         "pair-level dedup aggregate reappeared — pair dedup must stay the "
         "shuffle-free canonical-band filter"
     )
+
+
+def test_corpus_clean_pairs_drop_side_has_no_dedup_aggregate(spark):
+    """policy="pairs": the dropped-id side of the left-anti join must NOT
+    be deduplicated — the anti-join is insensitive to right-side
+    duplicates, so a .distinct() there was a pure extra exchange over the
+    pair set (r6 verdict item #3). The only Aggregate left in the whole
+    optimized plan is the exact-dedup keeper min(doc_id) per fingerprint."""
+    plan = _optimized(contracts.q_corpus_clean(spark, SF_DIR))
+    assert plan.count("Aggregate") == 1

@@ -653,3 +653,28 @@ def test_documents_df_planted_dups_found(spark):
     assert planted <= rows
     # no random-pair false positives at this threshold
     assert rows == planted
+
+
+def test_shingle_sets_with_sigs_matches_expressions(spark):
+    """The vectorized Arrow shingle/minhash pass must be bit-identical to
+    the Catalyst expression tree on tricky inputs: short docs (< k chars),
+    empty text, multi-byte code points, repeated shingles."""
+    from geospatial_studio_pipelines_spark.functions.text import shingle_hashes
+
+    pdf = [
+        (0, "abcdefg"),
+        (1, "abc"),          # shorter than the shingle width -> empty set
+        (2, ""),
+        (3, "aaaaaaaaaa"),   # one distinct shingle, repeated
+        (4, "héllo wörld"),  # multi-byte code points
+        (5, "the quick brown fox jumps over the lazy dog"),
+        (6, "日本語のテキスト断片"),
+    ]
+    df = spark.createDataFrame(pdf, "doc_id long, text string")
+    want = df.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(shingle_hashes(F.col("text")))).alias("sh"),
+        *dedup.minhash_signature(F.col("text")),
+    ).orderBy("doc_id").collect()
+    got = dedup.shingle_sets_with_sigs(df).orderBy("doc_id").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

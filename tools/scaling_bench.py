@@ -156,7 +156,22 @@ n_dedup = int(os.environ.get("SPARK_GRAFT_SCALE_DEDUP_ROWS", "4000000"))
 marker_d = os.path.join(input_dir, "MARKER_DEDUP.json")
 n_minhash = int(os.environ.get("SPARK_GRAFT_SCALE_MINHASH_DOCS", "16000"))
 want_d = {"n_dedup": n_dedup, "n_minhash": n_minhash, "v": 3}
-if not (os.path.exists(marker_d) and json.load(open(marker_d)) == want_d):
+
+def _read_marker(p):
+    # a setup killed mid-write leaves a truncated marker: treat any
+    # unreadable marker as stale (same pattern as bench.py)
+    try:
+        return json.load(open(p))
+    except (OSError, ValueError):
+        return None
+
+def _publish_marker(p, want):
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(want, fh)
+    os.replace(tmp, p)
+
+if _read_marker(marker_d) != want_d:
     spark = spark_session(app_name="scale-setup-dedup", master="local[32]")
     (spark.range(0, n_dedup, numPartitions=64)
           .write.mode("overwrite")
@@ -164,12 +179,12 @@ if not (os.path.exists(marker_d) and json.load(open(marker_d)) == want_d):
     (datagen.documents_df(spark, n_minhash, partitions=64)
           .write.mode("overwrite")
           .parquet(os.path.join(input_dir, f"dedup_docs_{n_minhash}")))
-    json.dump(want_d, open(marker_d, "w"))
+    _publish_marker(marker_d, want_d)
     spark.stop()
 
 marker = os.path.join(input_dir, "MARKER.json")
 want = {"n_bytes": n_bytes, "n_meta": n_meta, "v": 3}
-if os.path.exists(marker) and json.load(open(marker)) == want:
+if _read_marker(marker) == want:
     print("RESULT::{}")
     sys.exit(0)
 
@@ -192,7 +207,7 @@ def gen_meta(batches):
 (spark.range(0, n_meta, numPartitions=256)
       .mapInPandas(gen_meta, "id long, image_id string, w int, h int, phash long")
       .write.mode("overwrite").parquet(os.path.join(input_dir, "images_meta")))
-json.dump(want, open(marker, "w"))
+_publish_marker(marker, want)
 print("RESULT::{}")
 spark.stop()
 """

@@ -90,21 +90,28 @@ def cell_to_boundary(cell):
     return np.stack([vlat, vlng], axis=-1)
 
 
+def disk_offsets(k: int) -> list[tuple[int, int]]:
+    """Axial (dq, dr) offsets of the grid disk of radius ``k`` — the single
+    enumeration shared by ``grid_disk`` and the kNN operator's codegen disk
+    expansion (which adds ``dq·2^29 + dr`` to the packed cell id)."""
+    return [
+        (dq, dr)
+        for dq in range(-k, k + 1)
+        for dr in range(max(-k, -dq - k), min(k, -dq + k) + 1)
+    ]
+
+
 def grid_disk(cell, k: int) -> np.ndarray:
     """All cells within grid distance k of ``cell`` (scalar in, 1-D ids out).
 
     Used by the kNN operator to expand candidate rings (SURVEY.md §2.3 J9).
     """
     res, q, r = (int(x) for x in _unpack(np.int64(cell)))
-    qs, rs = [], []
-    for dq in range(-k, k + 1):
-        for dr in range(max(-k, -dq - k), min(k, -dq + k) + 1):
-            qs.append(q + dq)
-            rs.append(r + dr)
+    offs = disk_offsets(k)
     return _pack(
-        np.full(len(qs), res, dtype=np.int64),
-        np.asarray(qs, dtype=np.int64),
-        np.asarray(rs, dtype=np.int64),
+        np.full(len(offs), res, dtype=np.int64),
+        np.asarray([q + dq for dq, _ in offs], dtype=np.int64),
+        np.asarray([r + dr for _, dr in offs], dtype=np.int64),
     )
 
 

@@ -364,9 +364,11 @@ def ngram_jaccard_pairs(
         dense = dense.astype(np.int32)
         n_universe = int(uniq.size)
         ids_np = np.asarray([r[0] for r in rows])
-        # integer ids → vectorized searchsorted lookup; anything else falls
-        # back to a dict (object-dtype searchsorted is per-element Python)
-        if ids_np.dtype != object:
+        # numeric ids → vectorized searchsorted lookup; anything else
+        # (strings land as '<U' here, not object) falls back to a dict —
+        # per-element Python either way, and the dict raises the loud
+        # KeyError contract on unknown ids
+        if np.issubdtype(ids_np.dtype, np.number):
             sort_ix = np.argsort(ids_np, kind="stable")
             ids_sorted, ids_perm, index = ids_np[sort_ix], sort_ix, None
         else:
@@ -408,7 +410,16 @@ def ngram_jaccard_pairs(
                     return np.fromiter(
                         (index[x] for x in vals), dtype=np.int64, count=len(vals)
                     )
-                return ids_perm[np.searchsorted(ids_sorted, vals)]
+                pos = np.searchsorted(ids_sorted, vals)
+                pos = np.minimum(pos, len(ids_sorted) - 1)
+                if not (ids_sorted[pos] == vals).all():
+                    missing = np.asarray(vals)[ids_sorted[pos] != vals][:5]
+                    raise KeyError(
+                        f"ngram_jaccard_pairs: pair ids {list(missing)!r} are "
+                        "not in the shingled corpus — caller-supplied `pairs` "
+                        "must reference `docs` rows only"
+                    )
+                return ids_perm[pos]
 
             def process(ia_pa, ib_pa):
                 n = len(ia_pa)

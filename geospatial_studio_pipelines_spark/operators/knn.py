@@ -118,13 +118,10 @@ _DISK_EXPR_MAX_CELLS = 512
 
 
 def _disk_offsets(radius: int) -> list[tuple[int, int]]:
-    """Axial (dq, dr) offsets of the grid disk, in ``hexgrid.grid_disk``'s
-    enumeration order."""
-    return [
-        (dq, dr)
-        for dq in range(-radius, radius + 1)
-        for dr in range(max(-radius, -dq - radius), min(radius, -dq + radius) + 1)
-    ]
+    """Axial (dq, dr) offsets of the grid disk — delegates to the single
+    enumeration in ``hexgrid.disk_offsets`` so the codegen expansion and
+    the ``grid_disk`` UDF fallback cannot drift apart."""
+    return hexgrid.disk_offsets(radius)
 
 
 def _disk_candidates(queries: DataFrame, targets: DataFrame, radius: int) -> DataFrame:

@@ -63,8 +63,10 @@ def cosine_candidates_kernel(
     are exact; the final dot/(√na·√nb) uses the same operation order. The
     former plan evaluated that aggregate INTERPRETED per pair (higher-order
     functions have no codegen) — measured ~4s for 4M pairs at 32 cores vs
-    ~1s for this kernel. NaN rows (zero-norm vectors) keep every partner —
-    the superset stays valid under Spark's NaN-largest ordering."""
+    ~1s for this kernel. A zero-norm vector raises ValueError up front —
+    the same loud failure the former expression plan hit (ANSI
+    DIVIDE_BY_ZERO), instead of silently emitting NaN sims whose
+    interaction with the top-k cutoff would drop genuine neighbors."""
     import numpy as np
 
     rows = emb.select(id_col, vec_col).collect()
@@ -81,12 +83,20 @@ def cosine_candidates_kernel(
     for j in range(d):  # ordered accumulation — see docstring
         nb2 += corpus[:, j] * corpus[:, j]
     nbr = np.sqrt(nb2)
+    if n and not (nbr > 0).all():
+        bad = ids_np[np.flatnonzero(~(nbr > 0))[:5]]
+        raise ValueError(
+            f"cosine_candidates_kernel: zero-norm embedding(s) {list(bad)!r} "
+            "— cosine similarity is undefined for them (the former "
+            "expression plan failed with DIVIDE_BY_ZERO here); drop or "
+            "re-embed them first"
+        )
     sc = emb.sparkSession.sparkContext
     bc = sc.broadcast({"ids": ids_np, "corpus": corpus, "norms": nbr})
     id_type = dict(emb.dtypes)[id_col]
     out_schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"
-    #: rows of the (query-chunk × corpus) sim matrix are bounded to ~16M
-    #: doubles so a large gated corpus cannot blow task memory
+    #: the (query-chunk × corpus) sim matrix is bounded to 2^21 doubles
+    #: (16 MB) so a large gated corpus cannot blow task memory
     chunk = max(1, (1 << 21) // max(n, 1))
 
     def kernel(batches):
@@ -123,7 +133,10 @@ def cosine_candidates_kernel(
                         vals = srow[cand]
                         kth = np.partition(vals, m - k)[m - k]
                         if np.isnan(kth):
-                            keep = cand  # NaN row: keep all (see docstring)
+                            # defensive only — zero norms are rejected up
+                            # front, so sims are finite; keeping everything
+                            # preserves the superset guarantee regardless
+                            keep = cand
                         else:
                             keep = cand & (srow >= kth - 2e-6)
                     elif threshold is not None:

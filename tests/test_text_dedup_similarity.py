@@ -678,3 +678,31 @@ def test_shingle_sets_with_sigs_matches_expressions(spark):
     ).orderBy("doc_id").collect()
     got = dedup.shingle_sets_with_sigs(df).orderBy("doc_id").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_cosine_kernel_rejects_zero_norm_vectors(spark):
+    """A zero-norm embedding must fail LOUDLY (the pre-r7 expression plan
+    raised DIVIDE_BY_ZERO under ANSI mode); the Arrow kernel must not
+    silently emit NaN sims, whose NaN-largest ordering would also distort
+    the top-k cutoff."""
+    rows = [(i, [float(i + 1)] * 4) for i in range(5)] + [(9, [0.0] * 4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="zero-norm"):
+        similarity.brute_force_topk(emb, k=2)
+    with pytest.raises(ValueError, match="zero-norm"):
+        dedup.embedding_near_dups(emb, threshold=0.5, n_rows=6, method="brute")
+
+
+def test_jaccard_rejects_pair_ids_outside_corpus(spark):
+    """Caller-supplied candidate pairs referencing an id that is not in
+    the shingled corpus must fail loudly, never silently compute jaccard
+    against an unrelated document's set (the searchsorted insertion-point
+    hazard)."""
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some text") for i in range(6)],
+        "doc_id long, text string",
+    )
+    alien = spark.createDataFrame([(0, 12345)], "id_a long, id_b long")
+    out = dedup.ngram_jaccard_pairs(docs, pairs=alien, threshold=0.0)
+    with pytest.raises(Exception, match="not in the shingled corpus"):
+        out.collect()
